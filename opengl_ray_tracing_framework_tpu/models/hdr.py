@@ -1,0 +1,145 @@
+"""Radiance (.hdr) decoding and the environment importance-sampling cache.
+
+Host-side equivalents of:
+- thirdparty/hdrloader (hdrloader.cpp:1-191): RGBE scanline decoding (both
+  new-style RLE and flat scanlines) -> float32 RGB.
+- calculateHdrCache (src/core/Utility.h:33-131): the inverse-CDF table used
+  by the kernel's environment importance sampling (SampleHdr glsl:635-646,
+  hdrPdf glsl:1173-1186).
+
+Cache layout (identical to the reference texture): an (H, W, 3) float32
+array where channel R,G at cache[i, j] hold the inverse-CDF image sample
+position (x/W, y/H) for stratified uniforms (xi_1 = i/H, xi_2 = j/W), and
+channel B at cache[i, j] holds the *image-space* discrete pdf of pixel
+(i, j). R,G form a lookup table addressed by uniforms; B is addressed by
+direction — two tables packed in one texture, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_hdr(path: str) -> np.ndarray:
+    """Decode a Radiance RGBE file to (H, W, 3) float32."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+
+    # Header: lines until blank, then the resolution line.
+    pos = 0
+
+    def read_line():
+        nonlocal pos
+        end = data.index(b"\n", pos)
+        line = data[pos:end]
+        pos = end + 1
+        return line
+
+    magic = read_line()
+    if not (magic.startswith(b"#?RADIANCE") or magic.startswith(b"#?RGBE")):
+        raise ValueError(f"not a Radiance file: {magic[:20]!r}")
+    while True:
+        line = read_line()
+        if line.strip() == b"":
+            break
+    res = read_line().split()
+    if res[0] != b"-Y" or res[2] != b"+X":
+        raise ValueError(f"unsupported orientation {res!r}")
+    height = int(res[1])
+    width = int(res[3])
+
+    raw = np.frombuffer(data, np.uint8, offset=pos)
+    out = np.zeros((height, width, 4), np.uint8)
+    ptr = 0
+
+    for y in range(height):
+        if (width < 8 or width > 0x7FFF or raw[ptr] != 2 or raw[ptr + 1] != 2
+                or (raw[ptr + 2] & 0x80)):
+            # Flat scanline (possibly old-style RLE, not emitted by modern
+            # tools; treat as raw RGBE quads).
+            row = raw[ptr:ptr + width * 4].reshape(width, 4)
+            out[y] = row
+            ptr += width * 4
+            continue
+        scan_w = (int(raw[ptr + 2]) << 8) | int(raw[ptr + 3])
+        if scan_w != width:
+            raise ValueError("scanline width mismatch")
+        ptr += 4
+        for c in range(4):  # components stored planar, RLE per channel
+            x = 0
+            while x < width:
+                code = int(raw[ptr]); ptr += 1
+                if code > 128:  # run
+                    out[y, x:x + code - 128, c] = raw[ptr]
+                    ptr += 1
+                    x += code - 128
+                else:           # literal
+                    out[y, x:x + code, c] = raw[ptr:ptr + code]
+                    ptr += code
+                    x += code
+
+    rgbe = out.astype(np.float32)
+    e = rgbe[..., 3]
+    # convertComponent (hdrloader.cpp): f = c * 2^(e-128) / 256
+    scale = np.where(e > 0.0, np.ldexp(1.0, (e - 136.0).astype(np.int32)), 0.0)
+    return (rgbe[..., :3] * scale[..., None]).astype(np.float32)
+
+
+def build_hdr_cache(hdr: np.ndarray) -> np.ndarray:
+    """Importance-sampling cache (calculateHdrCache, Utility.h:33-131).
+
+    hdr: (H, W, 3) float32 radiance. Returns (H, W, 3) float32 cache.
+    """
+    hdr = np.asarray(hdr, np.float64)
+    height, width = hdr.shape[:2]
+
+    # Luminance-proportional discrete pdf (Utility.h:40-54 uses .2/.7/.1).
+    lum = 0.2 * hdr[..., 0] + 0.7 * hdr[..., 1] + 0.1 * hdr[..., 2]
+    pdf = lum / max(lum.sum(), 1e-30)
+
+    # Marginal over columns and its CDF (Utility.h:57-66).
+    pdf_x = pdf.sum(axis=0)                       # (W,)
+    cdf_x = np.cumsum(pdf_x)                      # (W,)
+
+    # Conditional y | X=x CDF, stored per column (Utility.h:69-87).
+    pdf_y_cond = pdf / np.maximum(pdf_x[None, :], 1e-30)   # (H, W)
+    cdf_y_cond = np.cumsum(pdf_y_cond, axis=0)             # (H, W)
+
+    # Inverse-CDF table for the stratified grid (Utility.h:90-115):
+    # xi_1 = i/H picks column x via cdf_x; xi_2 = j/W picks row y via
+    # cdf_y|x. lower_bound == searchsorted(side="left").
+    xi_1 = np.arange(height, dtype=np.float64) / height
+    xs = np.searchsorted(cdf_x, xi_1, side="left")         # (H,)
+    xs = np.minimum(xs, width - 1)
+
+    xi_2 = np.arange(width, dtype=np.float64) / width
+    ys = np.empty((height, width), np.int64)
+    for i in range(height):
+        col = cdf_y_cond[:, xs[i]]
+        ys[i] = np.searchsorted(col, xi_2, side="left")
+    ys = np.minimum(ys, height - 1)
+
+    cache = np.empty((height, width, 3), np.float32)
+    cache[..., 0] = (xs[:, None] / width).astype(np.float32)
+    cache[..., 1] = (ys / height).astype(np.float32)
+    cache[..., 2] = pdf.astype(np.float32)
+    return cache
+
+
+def make_gradient_hdr(width: int = 64, height: int = 32,
+                      bright_dir=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """Procedural test environment: smooth gradient with a bright pole.
+    Keeps unit tests and demos independent of external .hdr assets."""
+    us = (np.arange(width) + 0.5) / width
+    vs = (np.arange(height) + 0.5) / height
+    u, v = np.meshgrid(us, vs)
+    phi = 2.0 * np.pi * (u - 0.5)
+    theta = np.pi * (0.5 - v)          # v=0 -> +y pole
+    d = np.stack([np.cos(theta) * np.cos(phi), np.sin(theta),
+                  np.cos(theta) * np.sin(phi)], axis=-1)
+    b = np.asarray(bright_dir, np.float64)
+    b /= np.linalg.norm(b)
+    align = np.clip((d @ b + 1.0) * 0.5, 0.0, 1.0)
+    base = 0.2 + 2.0 * align ** 4
+    color = np.stack([base, base * 0.9 + 0.05, base * 0.8 + 0.1], axis=-1)
+    return color.astype(np.float32)

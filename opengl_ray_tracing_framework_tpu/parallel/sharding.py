@@ -1,0 +1,142 @@
+"""Multi-chip rendering: shard pixels over a device mesh.
+
+The reference's only parallelism is fragment-shader SIMT on one GPU
+(glsl:1518, one invocation per pixel). The TPU mapping (SURVEY.md §2.4):
+
+- data-parallel axis = pixels: the image is split into row blocks across a
+  1-D `jax.sharding.Mesh` axis ("tiles"); each device traces its rows,
+- the scene (triangles, BVH, HDR maps, materials) is *replicated* into every
+  device's HBM — 100k triangles encode to ~few MB, far below HBM,
+- accumulation is local (each device owns its rows), so the hot loop needs
+  **zero collectives**; only gradient reduction (parallel.autodiff) and
+  whole-image gathers cross the ICI.
+
+Works identically on a real multi-chip slice and on the CPU-simulated mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=N) used by tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.camera import Camera, pixel_uv
+from ..ops.integrator import trace_radiance
+from ..ops.sampling import rand01
+from ..render import RenderState
+from ..utils.config import RenderConfig
+
+
+def make_mesh(devices=None, axis_name: str = "tiles") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicate_scene(scene, mesh: Mesh):
+    """Place every scene leaf fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(scene, sharding)
+
+
+def _shard_rows(mesh: Mesh, config: RenderConfig):
+    n_dev = mesh.devices.size
+    if config.height % n_dev != 0:
+        raise ValueError(
+            f"height {config.height} not divisible by {n_dev} devices")
+    return NamedSharding(mesh, P("tiles", None, None))
+
+
+def render_pass_sharded(scene, camera: Camera, state: RenderState,
+                        config: RenderConfig, mesh: Mesh,
+                        rays_per_tile: int = 65536) -> RenderState:
+    """One (or spp_per_pass) progressive samples with pixels sharded over
+    the mesh. The accumulator stays sharded across passes; no collective is
+    needed until the image is fetched."""
+    row_sharding = _shard_rows(mesh, config)
+    rep = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("config", "rays_per_tile"),
+        in_shardings=(rep, rep, RenderState(accum=row_sharding, n_samples=rep)),
+        out_shardings=RenderState(accum=row_sharding, n_samples=rep),
+    )
+    def step(scene, camera, state, config=config,
+             rays_per_tile=rays_per_tile):
+        return _sharded_pass_impl(scene, camera, state, config, mesh,
+                                  rays_per_tile)
+
+    return step(scene, camera, state)
+
+
+def _sharded_pass_impl(scene, camera, state, config, mesh, rays_per_tile):
+    """shard_map body: each device traces its own block of rows."""
+    from jax import shard_map
+
+    n_dev = mesh.devices.size
+    rows_per_dev = config.height // n_dev
+
+    def device_block(scene, camera, accum_block, n_samples, dev_idx):
+        dev = dev_idx[0]
+        accum = accum_block
+        n = n_samples
+        for s in range(config.spp_per_pass):
+            frame = n + (s + 1)
+            sample = _trace_rows(scene, camera, frame, config,
+                                 dev * rows_per_dev, rows_per_dev,
+                                 rays_per_tile)
+            cnt = (n + s + 1).astype(jnp.float32)
+            accum = accum + (sample - accum) / cnt
+        return accum
+
+    dev_ids = jnp.arange(n_dev, dtype=jnp.int32)
+    accum = shard_map(
+        device_block,
+        mesh=mesh,
+        in_specs=(P(), P(), P("tiles", None, None), P(), P("tiles")),
+        out_specs=P("tiles", None, None),
+    )(scene, camera, state.accum, state.n_samples, dev_ids)
+    return RenderState(accum=accum,
+                       n_samples=state.n_samples + config.spp_per_pass)
+
+
+def _trace_rows(scene, camera, frame, config, row0, n_rows, rays_per_tile):
+    """Trace rows [row0, row0 + n_rows) -> (n_rows, W, 3) radiance."""
+    w = config.width
+    n_rays = n_rows * w
+    local = jnp.arange(n_rays, dtype=jnp.uint32)
+    pixel_id = local + jnp.uint32(w) * row0.astype(jnp.uint32)
+
+    xs = (local % jnp.uint32(w)).astype(jnp.float32)
+    ys = (local // jnp.uint32(w)).astype(jnp.float32) + row0.astype(jnp.float32)
+    if config.pixel_jitter:
+        ju = rand01(pixel_id, frame, 1001)
+        jv = rand01(pixel_id, frame, 1002)
+    else:
+        ju = 0.5
+        jv = 0.5
+    u = (xs + ju) / w
+    v = (ys + jv) / config.height
+
+    origin, direction = camera.generate_rays(u, v)
+
+    tile = min(rays_per_tile, n_rays)
+    pad = (-n_rays) % tile
+    if pad:
+        origin = jnp.concatenate([origin, origin[:pad]])
+        direction = jnp.concatenate([direction, direction[:pad]])
+        pixel_id = jnp.concatenate([pixel_id, pixel_id[:pad]])
+    n_tiles = origin.shape[0] // tile
+
+    radiance = jax.lax.map(
+        lambda args: trace_radiance(scene, args[0], args[1], args[2], frame,
+                                    config),
+        (origin.reshape(n_tiles, tile, 3),
+         direction.reshape(n_tiles, tile, 3),
+         pixel_id.reshape(n_tiles, tile)),
+    ).reshape(-1, 3)[:n_rays]
+    return radiance.reshape(n_rows, w, 3)

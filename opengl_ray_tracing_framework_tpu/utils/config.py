@@ -1,0 +1,65 @@
+"""Typed render configuration.
+
+Replaces the reference's global mutable settings surface
+(src/core/RenderSettings.h:8-90: SCR_WIDTH/SCR_HEIGHT, RENDER_SCALE,
+MAX_BOUNCE, feature toggles, envIntensity/envAngle/maxBounce/maxIterations)
+with one immutable, hashable dataclass that is passed as a static argument to
+jitted render functions. Anything that should be differentiable / traced
+(camera pose, material table, env intensity & angle) lives in pytrees
+instead — see models.camera.Camera and models.material.MaterialTable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (hashable: usable as a jit static arg).
+
+    Defaults mirror the reference (RenderSettings.h:8-12, 81-90).
+    """
+
+    width: int = 1024
+    height: int = 512
+    max_bounce: int = 8
+    # Progressive-iteration cap; -1 means unlimited (RenderSettings.h:90,
+    # main.cpp:367 UI range -1..3000).
+    max_iterations: int = 3000
+
+    # Feature toggles (RenderSettings.h:81-88).
+    enable_env_map: bool = True
+    enable_mis: bool = True
+    enable_bsdf: bool = True          # False -> legacy 3-lobe BRDF integrator
+    enable_tone_mapping: bool = True
+    enable_gamma_correction: bool = True
+
+    # Sampling.
+    spp_per_pass: int = 1             # reference renders 1 spp/frame (glsl:1552)
+    pixel_jitter: bool = False        # reference always shoots pixel centers
+    # Traversal stack depth for the vectorized BVH walk. The reference uses a
+    # 256-deep stack (glsl:344); SAH trees over <=1M tris stay far below 64.
+    traversal_stack_depth: int = 64
+    # BVH leaf size used at build time (Scene.h:197 uses 8).
+    bvh_leaf_size: int = 8
+
+    # Backend switches.
+    use_bvh: bool = True              # False -> brute force (oracle path)
+    use_pallas: bool = False          # Pallas traversal kernel (TPU fast path)
+
+    def validate(self) -> "RenderConfig":
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError(f"bad image size {self.width}x{self.height}")
+        if self.max_bounce < 1:
+            raise ValueError("max_bounce must be >= 1")
+        if self.spp_per_pass < 1:
+            raise ValueError("spp_per_pass must be >= 1")
+        return self
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,38 @@
+"""Test harness: force a CPU backend with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware (the fake-backend
+capability the reference lacks; SURVEY.md §4).
+
+Note: this box's sitecustomize force-registers the axon TPU backend with
+`jax.config.update("jax_platforms", ...)`, which overrides the JAX_PLATFORMS
+env var — so the override must also go through jax.config, after import but
+before any backend is touched.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def test_scene():
+    from opengl_ray_tracing_framework_tpu.models.scene import build_test_scene
+    _, data = build_test_scene()
+    return data
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
