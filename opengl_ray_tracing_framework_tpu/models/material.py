@@ -122,9 +122,26 @@ class MaterialTable(NamedTuple):
         return self.mat.emissive.shape[0]
 
     def gather(self, idx) -> Material:
-        """Per-hit material fetch: idx int32 (...,) -> Material batch."""
+        """Per-hit material fetch: idx int32 (...,) -> Material batch.
+
+        One-hot contraction instead of a gather: TPU random gathers run at
+        ~0.7 Gelem/s while a (R, M) x (M, F) contraction over the ~9-entry
+        table is effectively free — and it makes the fetch trivially
+        differentiable w.r.t. the table (the inverse-rendering parameter
+        vector)."""
         safe = jnp.clip(idx, 0, self.count - 1)
-        return jax.tree.map(lambda a: a[safe], self.mat)
+        onehot = (safe[..., None] ==
+                  jnp.arange(self.count, dtype=idx.dtype)).astype(jnp.float32)
+
+        def pick(a):
+            flat = a.reshape(self.count, -1).astype(jnp.float32)
+            out = jnp.einsum("...m,mf->...f", onehot, flat)
+            out = out.reshape(safe.shape + a.shape[1:])
+            if a.dtype != jnp.float32:
+                out = jnp.round(out).astype(a.dtype)
+            return out
+
+        return jax.tree.map(pick, self.mat)
 
     def replace_material(self, slot: int, material: Material) -> "MaterialTable":
         """Functional material edit — the analogue of the reference's

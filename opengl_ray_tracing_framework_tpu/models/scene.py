@@ -53,6 +53,16 @@ class SceneData(NamedTuple):
     hdr_cache: jax.Array        # (H, W, 3) float32
     env_intensity: jax.Array    # scalar float32 (RenderSettings.h:86)
     env_angle: jax.Array        # scalar float32 (RenderSettings.h:87)
+    # Treelet clusters for the sorted-wavefront tracer (models/clusters.py)
+    cl_aabb_min: jax.Array      # (C, 3) float32
+    cl_aabb_max: jax.Array      # (C, 3) float32
+    cl_trifeat: jax.Array       # (C, 80, T) float32 MXU constants
+    cl_slot2tri: jax.Array      # (C*T,) int32 padded slot -> tri id
+    # Gather-friendly fused tables: TPU gathers run fastest as one
+    # (F, N)-table row-block fetch per index (measured ~10x faster than
+    # per-field (N,)/(N, F) gathers on v5e).
+    tri_attr: jax.Array         # (20, N) f32 [p1 p2 p3 n1 n2 n3 mat_idx pad]
+    env_fetch: jax.Array        # (6, H*W) f32 [r g b cache_pdf cache_x cache_y]
 
     @property
     def n_triangles(self) -> int:
@@ -73,7 +83,10 @@ class SceneData(NamedTuple):
 
     def material_of(self, tri_idx) -> Material:
         safe = jnp.clip(tri_idx, 0, self.n_triangles - 1)
-        return self.materials.gather(self.mat_idx[safe])
+        # single-row fetch from the fused table (fast gather layout), then
+        # a one-hot contraction over the small material table
+        midx = self.tri_attr[18, safe].astype(jnp.int32)
+        return self.materials.gather(midx)
 
     def with_materials(self, table: MaterialTable) -> "SceneData":
         return self._replace(materials=table)
@@ -122,7 +135,8 @@ class Scene:
         self.set_environment(load_hdr(path))
 
     def build(self, leaf_size: int = 8, bvh_method: str = "sah",
-              env_intensity: float = 1.0, env_angle: float = 0.0) -> SceneData:
+              env_intensity: float = 1.0, env_angle: float = 0.0,
+              cluster_size: int = 256) -> SceneData:
         if not self._tris:
             raise ValueError("scene has no objects")
         parts = [np.concatenate([t[k] for t in self._tris]) for k in range(6)]
@@ -138,8 +152,23 @@ class Scene:
         n1, n2, n3 = n1[perm], n2[perm], n3[perm]
         mat_idx = mat_idx[perm]
 
+        from .clusters import build_clusters
+        clusters = build_clusters(bvh, p1, p2, p3, max_tris=cluster_size)
+
+        tri_attr = np.zeros((20, p1.shape[0]), np.float32)
+        tri_attr[0:3] = p1.T
+        tri_attr[3:6] = p2.T
+        tri_attr[6:9] = p3.T
+        tri_attr[9:12] = n1.T
+        tri_attr[12:15] = n2.T
+        tri_attr[15:18] = n3.T
+        tri_attr[18] = mat_idx.astype(np.float32)
+
         hdr = self._hdr if self._hdr is not None else make_gradient_hdr()
         cache = build_hdr_cache(hdr)
+        env_fetch = np.concatenate(
+            [hdr.reshape(-1, 3).T,
+             cache.reshape(-1, 3).T[[2, 0, 1]]]).astype(np.float32)
 
         table = MaterialTable.stack(self._materials)
         dev = jnp.asarray
@@ -154,6 +183,12 @@ class Scene:
             hdr_map=dev(hdr), hdr_cache=dev(cache),
             env_intensity=jnp.asarray(env_intensity, jnp.float32),
             env_angle=jnp.asarray(env_angle, jnp.float32),
+            cl_aabb_min=dev(clusters.aabb_min),
+            cl_aabb_max=dev(clusters.aabb_max),
+            cl_trifeat=dev(clusters.trifeat),
+            cl_slot2tri=dev(clusters.slot2tri),
+            tri_attr=dev(tri_attr),
+            env_fetch=dev(env_fetch),
         )
 
 

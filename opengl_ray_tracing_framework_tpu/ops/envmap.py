@@ -99,6 +99,67 @@ def hdr_pdf(hdr_cache, direction, env_angle, hdr_width, hdr_height):
     return pdf_img * p_convert
 
 
+# ---------------------------------------------------------------------------
+# Fused nearest-texel fetch paths for the wavefront hot loop.
+#
+# TPU random gathers cost ~1.5 ns/element regardless of table size, so the
+# in-loop environment accesses are restructured as ONE row-block gather per
+# site from the fused (6, H*W) table SceneData.env_fetch
+# [map_r, map_g, map_b, cache_pdf, cache_x, cache_y] with nearest filtering
+# (the reference samples with GL bilinear; nearest is a documented deviation
+# worth ~3x fewer fetched elements, invisible at 1k+ HDR resolutions).
+# ---------------------------------------------------------------------------
+
+
+def _texel_index(u, v, h, w):
+    x = jnp.clip((jnp.mod(u, 1.0) * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    return y * w + x
+
+
+def env_sample_nearest(env_fetch, h, w, xi_1, xi_2):
+    """NEE light sample from the inverse-CDF cache: one 3-row gather.
+
+    Returns (direction, pdf_solid_angle). The pdf comes from the *same*
+    cache texel as the sample — the sampler's true pdf (identical to the
+    reference's separate hdrPdf lookup at env_angle = 0, and unbiased for
+    any angle, unlike glsl:1379-1406 which rotates the pdf lookup but not
+    the sample)."""
+    idx = _texel_index(xi_1, xi_2, h, w)
+    g = env_fetch[3:6, idx]                       # (3, R): pdf, x, y
+    pdf_img, x, y = g[0], g[1], g[2]
+    yy = 1.0 - y
+    phi = TWO_PI * (x - 0.5)
+    theta = PI * (yy - 0.5)
+    cos_t = jnp.cos(theta)
+    direction = jnp.stack(
+        [cos_t * jnp.cos(phi), jnp.sin(theta), cos_t * jnp.sin(phi)],
+        axis=-1)
+    sin_col = jnp.maximum(jnp.sin(PI * y), 1e-10)
+    pdf = pdf_img * (w * h) / (TWO_PI * PI * sin_col)
+    return direction, pdf
+
+
+def env_radiance_nearest(env_fetch, h, w, direction, env_angle):
+    """Environment radiance along `direction`: one 3-row gather."""
+    u, v = to_spherical_uv(direction, env_angle)
+    idx = _texel_index(u, v, h, w)
+    g = env_fetch[0:3, idx]                       # (3, R)
+    return jnp.moveaxis(g, 0, -1)
+
+
+def env_radiance_pdf_nearest(env_fetch, h, w, direction, env_angle):
+    """Radiance + solid-angle pdf along `direction` (the bounce-miss MIS
+    site, glsl:1483-1506): one 4-row gather."""
+    u, v = to_spherical_uv(direction, env_angle)
+    idx = _texel_index(u, v, h, w)
+    g = env_fetch[0:4, idx]                       # (4, R)
+    rgb = jnp.moveaxis(g[0:3], 0, -1)
+    sin_theta = jnp.maximum(jnp.sin(PI * v), 1e-10)
+    pdf = g[3] * (w * h) / (TWO_PI * PI * sin_theta)
+    return rgb, pdf
+
+
 def default_sky_color(dir_y):
     """White-to-blue gradient fallback sky (glsl:1190-1193)."""
     t = 0.5 * (dir_y + 1.0)

@@ -46,9 +46,10 @@ from ..models.material import (
 from . import disney
 from .envmap import (
     default_sky_color,
+    env_radiance_nearest,
+    env_radiance_pdf_nearest,
+    env_sample_nearest,
     hdr_color,
-    hdr_pdf,
-    sample_hdr_direction,
 )
 from .intersect import INF, surface_attributes
 from .sampling import (
@@ -139,18 +140,20 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
     def body(b, state):
         hit_point, n, v, mat = surface_attributes(scene, state)
 
+        hh, ww = scene.hdr_map.shape[0], scene.hdr_map.shape[1]
+
         # ---- 1. next-event estimation toward the environment ------------
         lo = state.lo
         if config.enable_env_map:
             xl1 = rand01(pixel_id, frame, 8 * b + 0)
             xl2 = rand01(pixel_id, frame, 8 * b + 1)
-            l_dir = sample_hdr_direction(scene.hdr_cache, xl1, xl2)
+            l_dir, light_pdf = env_sample_nearest(
+                scene.env_fetch, hh, ww, xl1, xl2)
             facing = jnp.sum(n * l_dir, axis=-1) > 0.0
             shadow = closest_hit(scene, hit_point, l_dir, config)
             vis = state.alive & facing & ~shadow.is_hit
-            light_pdf = hdr_pdf(scene.hdr_cache, l_dir, scene.env_angle,
-                                scene.hdr_map.shape[1], scene.hdr_map.shape[0])
-            light_fr = hdr_color(scene.hdr_map, l_dir, scene.env_angle) \
+            light_fr = env_radiance_nearest(
+                scene.env_fetch, hh, ww, l_dir, scene.env_angle) \
                 * scene.env_intensity
             f_eval, pdf_eval = disney.disney_eval(mat, v, n, l_dir)
             w = mis_weight(light_pdf, pdf_eval)
@@ -216,11 +219,9 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
         nxt_miss = alive & ~nxt.is_hit
 
         if config.enable_env_map:
-            env_fr = hdr_color(scene.hdr_map, new_dir, scene.env_angle) \
-                * scene.env_intensity
-            light_pdf2 = hdr_pdf(scene.hdr_cache, new_dir, scene.env_angle,
-                                 scene.hdr_map.shape[1],
-                                 scene.hdr_map.shape[0])
+            env_fr, light_pdf2 = env_radiance_pdf_nearest(
+                scene.env_fetch, hh, ww, new_dir, scene.env_angle)
+            env_fr = env_fr * scene.env_intensity
             w2 = mis_weight(pdf_for_mis, light_pdf2)
             if not config.enable_mis:
                 w2 = jnp.ones_like(w2)
@@ -277,17 +278,19 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
         hit_point, n, v, mat = surface_attributes(scene, state)
         tangent, bitangent = onb(n)
 
+        hh, ww = scene.hdr_map.shape[0], scene.hdr_map.shape[1]
+
         lo = state.lo
         if config.enable_env_map:
             xl1 = rand01(pixel_id, frame, 8 * b + 0)
             xl2 = rand01(pixel_id, frame, 8 * b + 1)
-            l_dir = sample_hdr_direction(scene.hdr_cache, xl1, xl2)
+            l_dir, light_pdf = env_sample_nearest(
+                scene.env_fetch, hh, ww, xl1, xl2)
             facing = jnp.sum(n * l_dir, axis=-1) > 0.0
             shadow = closest_hit(scene, hit_point, l_dir, config)
             vis = state.alive & facing & ~shadow.is_hit
-            light_pdf = hdr_pdf(scene.hdr_cache, l_dir, scene.env_angle,
-                                scene.hdr_map.shape[1], scene.hdr_map.shape[0])
-            light_fr = hdr_color(scene.hdr_map, l_dir, scene.env_angle) \
+            light_fr = env_radiance_nearest(
+                scene.env_fetch, hh, ww, l_dir, scene.env_angle) \
                 * scene.env_intensity
             f_eval, pdf_eval = disney.brdf_evaluate(
                 mat, v, n, l_dir, tangent, bitangent)
@@ -317,11 +320,9 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
         nxt_miss = alive & ~nxt.is_hit
 
         if config.enable_env_map:
-            env_fr = hdr_color(scene.hdr_map, l_dir, scene.env_angle) \
-                * scene.env_intensity
-            light_pdf2 = hdr_pdf(scene.hdr_cache, l_dir, scene.env_angle,
-                                 scene.hdr_map.shape[1],
-                                 scene.hdr_map.shape[0])
+            env_fr, light_pdf2 = env_radiance_pdf_nearest(
+                scene.env_fetch, hh, ww, l_dir, scene.env_angle)
+            env_fr = env_fr * scene.env_intensity
             w2 = mis_weight(pdf_brdf, light_pdf2)
             lo = lo + jnp.where(nxt_miss[..., None],
                                 w2[..., None] * history * env_fr, 0.0)

@@ -187,9 +187,16 @@ def surface_attributes(scene, state):
     The discrete winner `tri` comes from (detached) traversal; the hit
     distance is *recomputed* here from the winning triangle's plane so that
     gradients w.r.t. ray origin/direction and vertices flow — the traversal
-    t is only a reference value (they agree to the 1e-5 pullback)."""
-    p1, p2, p3 = scene.triangle_vertices(state.tri)
-    n1, n2, n3 = scene.triangle_normals(state.tri)
+    t is only a reference value (they agree to the 1e-5 pullback).
+
+    Triangle data comes from the fused (20, N) SceneData.tri_attr table in
+    ONE row-block gather (the fast TPU layout); vertex gradients therefore
+    accumulate on tri_attr."""
+    safe = jnp.clip(state.tri, 0, scene.n_triangles - 1)
+    g = scene.tri_attr[:, safe]                     # (20, R)
+    ax = lambda rows: jnp.moveaxis(rows, 0, -1)
+    p1, p2, p3 = ax(g[0:3]), ax(g[3:6]), ax(g[6:9])
+    n1, n2, n3 = ax(g[9:12]), ax(g[12:15]), ax(g[15:18])
     n_geo = jnp.cross(p2 - p1, p3 - p1)
     denom = _dot(n_geo, state.direction)
     denom = jnp.where(jnp.abs(denom) < 1e-12,
@@ -200,5 +207,5 @@ def surface_attributes(scene, state):
     hit_point = state.origin + state.direction * t[..., None]
     n = shading_normal(hit_point, p1, p2, p3, n1, n2, n3, state.inside)
     v = -state.direction
-    mat = scene.material_of(state.tri)
+    mat = scene.materials.gather(g[18].astype(jnp.int32))
     return hit_point, n, v, mat

@@ -163,10 +163,9 @@ def closest_hit(scene, origin, direction, config) -> Hit:
         hit = closest_hit_brute(origin, direction,
                                 scene.p1, scene.p2, scene.p3)
     elif config.use_pallas:
-        from .traverse_pallas import pallas_closest_hit
-        hit = pallas_closest_hit(scene, origin, direction,
-                                 stack_depth=config.traversal_stack_depth,
-                                 leaf_size=config.bvh_leaf_size)
+        from .wavefront import closest_hit_wavefront
+        hit = closest_hit_wavefront(scene, origin, direction, config,
+                                    interpret=config.pallas_interpret)
     else:
         hit = bvh_closest_hit(scene, origin, direction,
                               stack_depth=config.traversal_stack_depth,

@@ -46,7 +46,14 @@ class RenderConfig:
 
     # Backend switches.
     use_bvh: bool = True              # False -> brute force (oracle path)
-    use_pallas: bool = False          # Pallas traversal kernel (TPU fast path)
+    use_pallas: bool = False          # sorted-wavefront tracer (TPU fast path)
+    pallas_interpret: bool = False    # run the kernel interpreted (CPU tests)
+
+    # Sorted-wavefront tracer knobs (ops.wavefront): number of candidate
+    # clusters processed per ray (rounds of sort+intersect) and the max
+    # distinct clusters a 1024-ray tile may span per round.
+    wavefront_rounds: int = 4
+    wavefront_spans: int = 8
 
     def validate(self) -> "RenderConfig":
         if self.width <= 0 or self.height <= 0:
