@@ -126,6 +126,30 @@ def build_hdr_cache(hdr: np.ndarray) -> np.ndarray:
     return cache
 
 
+def build_env_fetch(hdr: np.ndarray, cache: np.ndarray) -> np.ndarray:
+    """Fused (8, H*W) row-block fetch table for the in-loop env accesses.
+
+    Rows: [map_r, map_g, map_b, pdf_img, cache_x, cache_y, pdf_sampled, 0].
+    pdf_img is the image-space pdf addressed by *pixel position* (the
+    reference's hdrPdf addressing, glsl:1173-1186); pdf_sampled is the pdf
+    of the texel the inverse-CDF sampler lands on, addressed by the
+    *uniforms* (xi_1, xi_2) like cache_x/cache_y — so the NEE sampler gets
+    its true pdf in the same single fetch as the sample position.
+    """
+    h, w = hdr.shape[:2]
+    # cache stores xs/w and ys/h; recover the exact integer sample indices
+    xs = np.clip(np.round(cache[..., 0].astype(np.float64) * w), 0, w - 1)
+    ys = np.clip(np.round(cache[..., 1].astype(np.float64) * h), 0, h - 1)
+    pdf_img = cache[..., 2]
+    pdf_sampled = pdf_img[ys.astype(np.int64), xs.astype(np.int64)]
+    flat = hdr.reshape(-1, 3)
+    return np.stack([
+        flat[:, 0], flat[:, 1], flat[:, 2],
+        pdf_img.ravel(), cache[..., 0].ravel(), cache[..., 1].ravel(),
+        pdf_sampled.ravel(), np.zeros(h * w, np.float32),
+    ]).astype(np.float32)
+
+
 def make_gradient_hdr(width: int = 64, height: int = 32,
                       bright_dir=(0.0, 1.0, 0.0)) -> np.ndarray:
     """Procedural test environment: smooth gradient with a bright pole.

@@ -134,12 +134,13 @@ class MaterialTable(NamedTuple):
                   jnp.arange(self.count, dtype=idx.dtype)).astype(jnp.float32)
 
         def pick(a):
-            flat = a.reshape(self.count, -1).astype(jnp.float32)
-            out = jnp.einsum("...m,mf->...f", onehot, flat)
-            out = out.reshape(safe.shape + a.shape[1:])
             if a.dtype != jnp.float32:
-                out = jnp.round(out).astype(a.dtype)
-            return out
+                # int/bool fields (medium_type): plain gather — exact for
+                # any value, and id-like fields need no gradient anyway
+                return a[safe]
+            flat = a.reshape(self.count, -1)
+            out = jnp.einsum("...m,mf->...f", onehot, flat)
+            return out.reshape(safe.shape + a.shape[1:])
 
         return jax.tree.map(pick, self.mat)
 

@@ -26,7 +26,12 @@ import jax.numpy as jnp
 
 from . import mesh as mesh_lib
 from .bvh import build_bvh, FlatBVH
-from .hdr import load_hdr, build_hdr_cache, make_gradient_hdr
+from .hdr import (
+    build_env_fetch,
+    build_hdr_cache,
+    load_hdr,
+    make_gradient_hdr,
+)
 from .material import Material, MaterialTable, preset_materials
 
 DEFAULT_ASSETS_DIR = os.environ.get("ORTF_ASSETS", "/root/reference/resources")
@@ -62,7 +67,7 @@ class SceneData(NamedTuple):
     # (F, N)-table row-block fetch per index (measured ~10x faster than
     # per-field (N,)/(N, F) gathers on v5e).
     tri_attr: jax.Array         # (20, N) f32 [p1 p2 p3 n1 n2 n3 mat_idx pad]
-    env_fetch: jax.Array        # (6, H*W) f32 [r g b cache_pdf cache_x cache_y]
+    env_fetch: jax.Array        # (8, H*W) f32, layout: hdr.build_env_fetch
 
     @property
     def n_triangles(self) -> int:
@@ -166,9 +171,7 @@ class Scene:
 
         hdr = self._hdr if self._hdr is not None else make_gradient_hdr()
         cache = build_hdr_cache(hdr)
-        env_fetch = np.concatenate(
-            [hdr.reshape(-1, 3).T,
-             cache.reshape(-1, 3).T[[2, 0, 1]]]).astype(np.float32)
+        env_fetch = build_env_fetch(hdr, cache)
 
         table = MaterialTable.stack(self._materials)
         dev = jnp.asarray

@@ -104,8 +104,9 @@ def hdr_pdf(hdr_cache, direction, env_angle, hdr_width, hdr_height):
 #
 # TPU random gathers cost ~1.5 ns/element regardless of table size, so the
 # in-loop environment accesses are restructured as ONE row-block gather per
-# site from the fused (6, H*W) table SceneData.env_fetch
-# [map_r, map_g, map_b, cache_pdf, cache_x, cache_y] with nearest filtering
+# site from the fused (8, H*W) table SceneData.env_fetch
+# [map_r, map_g, map_b, pdf_img, cache_x, cache_y, pdf_sampled, 0]
+# (models.hdr.build_env_fetch) with nearest filtering
 # (the reference samples with GL bilinear; nearest is a documented deviation
 # worth ~3x fewer fetched elements, invisible at 1k+ HDR resolutions).
 # ---------------------------------------------------------------------------
@@ -117,19 +118,25 @@ def _texel_index(u, v, h, w):
     return y * w + x
 
 
-def env_sample_nearest(env_fetch, h, w, xi_1, xi_2):
+def env_sample_nearest(env_fetch, h, w, xi_1, xi_2, env_angle):
     """NEE light sample from the inverse-CDF cache: one 3-row gather.
 
-    Returns (direction, pdf_solid_angle). The pdf comes from the *same*
-    cache texel as the sample — the sampler's true pdf (identical to the
-    reference's separate hdrPdf lookup at env_angle = 0, and unbiased for
-    any angle, unlike glsl:1379-1406 which rotates the pdf lookup but not
-    the sample)."""
+    Returns (direction, pdf_solid_angle). The pdf row 6 is the pdf of the
+    *sampled* texel (precomputed at build time, hdr.build_env_fetch), so
+    sample and pdf always belong to the same pixel — the sampler's true
+    pdf (the reference fetches it with a second hdrPdf texel lookup,
+    glsl:1382-1390). The returned direction is rotated by env_angle so the
+    sampling distribution tracks the rotated radiance lookup
+    (hdr_color/env_radiance_nearest add env_angle in u; the reference
+    instead rotates only the pdf lookup — a documented inconsistency we
+    do not reproduce)."""
     idx = _texel_index(xi_1, xi_2, h, w)
-    g = env_fetch[3:6, idx]                       # (3, R): pdf, x, y
-    pdf_img, x, y = g[0], g[1], g[2]
+    g = env_fetch[4:7, idx]                       # (3, R): x, y, pdf_sampled
+    x, y, pdf_img = g[0], g[1], g[2]
     yy = 1.0 - y
-    phi = TWO_PI * (x - 0.5)
+    # radiance lookups add env_angle to u, so emitting the direction whose
+    # u_dir = x - env_angle makes lookups land on the sampled texel
+    phi = TWO_PI * (x - env_angle - 0.5)
     theta = PI * (yy - 0.5)
     cos_t = jnp.cos(theta)
     direction = jnp.stack(

@@ -148,9 +148,10 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
             xl1 = rand01(pixel_id, frame, 8 * b + 0)
             xl2 = rand01(pixel_id, frame, 8 * b + 1)
             l_dir, light_pdf = env_sample_nearest(
-                scene.env_fetch, hh, ww, xl1, xl2)
+                scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
             facing = jnp.sum(n * l_dir, axis=-1) > 0.0
-            shadow = closest_hit(scene, hit_point, l_dir, config)
+            shadow = closest_hit(scene, hit_point, l_dir, config,
+                                 mask=state.alive & facing, any_hit=True)
             vis = state.alive & facing & ~shadow.is_hit
             light_fr = env_radiance_nearest(
                 scene.env_fetch, hh, ww, l_dir, scene.env_angle) \
@@ -215,7 +216,7 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
         pdf_for_mis = jnp.where(med_sampled, hg_pdf, pdf_eval_dir)
 
         # ---- 4. trace the bounce ray ------------------------------------
-        nxt = closest_hit(scene, new_org, new_dir, config)
+        nxt = closest_hit(scene, new_org, new_dir, config, mask=alive)
         nxt_miss = alive & ~nxt.is_hit
 
         if config.enable_env_map:
@@ -285,9 +286,10 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
             xl1 = rand01(pixel_id, frame, 8 * b + 0)
             xl2 = rand01(pixel_id, frame, 8 * b + 1)
             l_dir, light_pdf = env_sample_nearest(
-                scene.env_fetch, hh, ww, xl1, xl2)
+                scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
             facing = jnp.sum(n * l_dir, axis=-1) > 0.0
-            shadow = closest_hit(scene, hit_point, l_dir, config)
+            shadow = closest_hit(scene, hit_point, l_dir, config,
+                                 mask=state.alive & facing, any_hit=True)
             vis = state.alive & facing & ~shadow.is_hit
             light_fr = env_radiance_nearest(
                 scene.env_fetch, hh, ww, l_dir, scene.env_angle) \
@@ -316,7 +318,7 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
         history = jnp.where(alive[..., None], state.history * mult,
                             state.history)
 
-        nxt = closest_hit(scene, hit_point, l_dir, config)
+        nxt = closest_hit(scene, hit_point, l_dir, config, mask=alive)
         nxt_miss = alive & ~nxt.is_hit
 
         if config.enable_env_map:

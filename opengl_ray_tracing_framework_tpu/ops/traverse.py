@@ -145,8 +145,14 @@ def bvh_closest_hit(scene, origin, direction, stack_depth: int = 64,
     return best
 
 
-def closest_hit(scene, origin, direction, config) -> Hit:
+def closest_hit(scene, origin, direction, config, mask=None,
+                any_hit: bool = False) -> Hit:
     """Dispatch on the configured backend.
+
+    mask: optional (R,) bool — dead lanes may skip tracing (integrators
+    gate on their own alive mask, so a miss is returned for them).
+    any_hit: occlusion-query semantics; backends may stop at the first
+    hit (is_hit is then the only meaningful field).
 
     Traversal is *detached* from autodiff: the discrete winner (tri, inside)
     has no useful derivative and lax.while_loop cannot be transposed, so
@@ -163,8 +169,9 @@ def closest_hit(scene, origin, direction, config) -> Hit:
         hit = closest_hit_brute(origin, direction,
                                 scene.p1, scene.p2, scene.p3)
     elif config.use_pallas:
-        from .wavefront import closest_hit_wavefront
-        hit = closest_hit_wavefront(scene, origin, direction, config,
+        from .schedule import closest_hit_scheduled
+        hit = closest_hit_scheduled(scene, origin, direction, config,
+                                    mask=mask, any_hit=any_hit,
                                     interpret=config.pallas_interpret)
     else:
         hit = bvh_closest_hit(scene, origin, direction,

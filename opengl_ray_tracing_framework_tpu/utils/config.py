@@ -46,14 +46,14 @@ class RenderConfig:
 
     # Backend switches.
     use_bvh: bool = True              # False -> brute force (oracle path)
-    use_pallas: bool = False          # sorted-wavefront tracer (TPU fast path)
+    use_pallas: bool = False          # scheduled-wavefront tracer (TPU path)
     pallas_interpret: bool = False    # run the kernel interpreted (CPU tests)
 
-    # Sorted-wavefront tracer knobs (ops.wavefront): number of candidate
-    # clusters processed per ray (rounds of sort+intersect) and the max
-    # distinct clusters a 1024-ray tile may span per round.
-    wavefront_rounds: int = 4
-    wavefront_spans: int = 8
+    # Scheduled-wavefront tracer knob (ops.schedule): clusters elected per
+    # 1024-ray tile per round. Purely a performance knob — the round loop
+    # runs until every ray's candidate list is exhausted, so any value
+    # >= 1 is exact.
+    sched_topk: int = 8
 
     def validate(self) -> "RenderConfig":
         if self.width <= 0 or self.height <= 0:
@@ -62,6 +62,8 @@ class RenderConfig:
             raise ValueError("max_bounce must be >= 1")
         if self.spp_per_pass < 1:
             raise ValueError("spp_per_pass must be >= 1")
+        if self.sched_topk < 1:
+            raise ValueError("sched_topk must be >= 1")
         return self
 
     @property
