@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rays-per-tile", type=int, default=131072)
     p.add_argument("--progress-every", type=int, default=0,
                    help="print a progress line every N passes")
+    p.add_argument("--preview-every", type=int, default=0,
+                   help="write the current image to --out every N passes "
+                        "(the live-preview analogue of the ImGui loop)")
+    p.add_argument("--tracer", default="scheduled",
+                   choices=("scheduled", "whileloop", "brute"),
+                   help="closest-hit backend (scheduled = TPU fast path)")
     return p
 
 
@@ -62,7 +68,12 @@ def main(argv=None):
     from . import RenderConfig
     from .models.camera import Camera
     from .models.scene import build_reference_scene, build_test_scene
-    from .render import finalize, init_render_state, render_pass
+    from .render import (
+        finalize,
+        init_render_state,
+        render_pass,
+        render_passes,
+    )
     from .utils.image import save_render
     from .utils import checkpoint as ckpt
 
@@ -101,6 +112,8 @@ def main(argv=None):
         enable_bsdf=not args.brdf,
         enable_tone_mapping=not args.no_tonemap,
         enable_gamma_correction=not args.no_gamma,
+        use_bvh=args.tracer != "brute",
+        use_pallas=args.tracer == "scheduled",
     )
 
     state = init_render_state(config)
@@ -109,16 +122,32 @@ def main(argv=None):
         print(f"resumed at {int(state.n_samples)} spp", file=sys.stderr)
 
     n_passes = -(-args.spp // config.spp_per_pass)
+    # host sync points: the smallest observer interval; everything between
+    # runs as one on-device lax.fori_loop (render_passes)
+    intervals = [x for x in (args.progress_every, args.preview_every) if x]
+    chunk = min(intervals) if intervals else n_passes
     t0 = time.time()
-    for i in range(n_passes):
-        state = render_pass(scene, cam, state, config,
-                            rays_per_tile=args.rays_per_tile)
-        if args.progress_every and (i + 1) % args.progress_every == 0:
+    done = 0
+    while done < n_passes:
+        step = min(chunk, n_passes - done)
+        if step == 1:
+            state = render_pass(scene, cam, state, config,
+                                rays_per_tile=args.rays_per_tile)
+        else:
+            state = render_passes(scene, cam, state, config, step,
+                                  rays_per_tile=args.rays_per_tile)
+        done += step
+        if args.progress_every and done % args.progress_every == 0:
             jax.block_until_ready(state.accum)
             dt = time.time() - t0
-            print(f"pass {i + 1}/{n_passes} "
+            print(f"pass {done}/{n_passes} "
                   f"({int(state.n_samples)} spp, {dt:.1f}s, "
-                  f"{(i + 1) / dt:.2f} passes/s)", file=sys.stderr)
+                  f"{done / dt:.2f} passes/s)", file=sys.stderr)
+        if args.preview_every and done % args.preview_every == 0 \
+                and done < n_passes:
+            save_render(args.out, finalize(state, config))
+            print(f"preview written to {args.out} at "
+                  f"{int(state.n_samples)} spp", file=sys.stderr)
     jax.block_until_ready(state.accum)
     elapsed = time.time() - t0
 

@@ -40,8 +40,11 @@ from .bvh import FlatBVH
 
 PARALLEL_EPS = 1e-5   # matches ops.intersect.PARALLEL_EPS
 
-# Feature-row layout of the (16, 5*T) per-cluster matrix, grouped in five
-# 16-row blocks [A | TN | U | V | E]; ray feature vector is
+# Feature-column layout of the (16, 5*T) per-cluster matrix: five T-column
+# groups [A | TN | U | V | E] side by side, so ONE MXU contraction
+# rayfeat (rays, 16) @ trifeat (16, 5T) produces every Moller-Trumbore
+# quantity for a tile x cluster pair (5 separate 16-row dots cost ~3x more
+# in kernel launches, measured on v5e). Ray feature vector is
 # [ox oy oz dx dy dz (oxd)x (oxd)y (oxd)z 1 0 0 0 0 0 0].
 N_RAY_FEAT = 16
 N_GROUPS = 5
@@ -52,7 +55,7 @@ class ClusterSet(NamedTuple):
 
     aabb_min: np.ndarray   # (C, 3) f32
     aabb_max: np.ndarray   # (C, 3) f32
-    trifeat: np.ndarray    # (C, N_GROUPS*16, T) f32 — matmul constants
+    trifeat: np.ndarray    # (C, 16, N_GROUPS*T) f32 — matmul constants
     slot2tri: np.ndarray   # (C*T,) i32 — padded slot -> global tri id (-1 pad)
     first: np.ndarray      # (C,) i32 — first (unpadded) triangle
     count: np.ndarray      # (C,) i32 — real triangles in cluster
@@ -63,7 +66,7 @@ class ClusterSet(NamedTuple):
 
     @property
     def block_tris(self) -> int:
-        return self.trifeat.shape[2]
+        return self.trifeat.shape[2] // N_GROUPS
 
 
 def cut_clusters(bvh: FlatBVH, max_tris: int) -> list[tuple[int, int, int]]:
@@ -111,7 +114,7 @@ def build_clusters(bvh: FlatBVH, p1: np.ndarray, p2: np.ndarray,
 
     aabb_min = np.zeros((c, 3), np.float32)
     aabb_max = np.zeros((c, 3), np.float32)
-    trifeat = np.zeros((c, N_GROUPS * N_RAY_FEAT, t_blk), np.float32)
+    trifeat = np.zeros((c, N_RAY_FEAT, N_GROUPS * t_blk), np.float32)
     slot2tri = np.full(c * t_blk, -1, np.int32)
     firsts = np.zeros(c, np.int32)
     counts = np.zeros(c, np.int32)
@@ -140,20 +143,20 @@ def build_clusters(bvh: FlatBVH, p1: np.ndarray, p2: np.ndarray,
         nlen = np.sqrt(np.maximum((n * n).sum(-1), 1e-30))
 
         f = trifeat[ci]
-        g = N_RAY_FEAT
-        # group A (rows 0..15): A = d.n  -> d rows get n
-        f[3:6, :cnt] = n.T
-        # group TN (rows 16..31): TN = c1 - o.n
-        f[g + 0:g + 3, :cnt] = -n.T             # o rows: -n
-        f[g + 9, :cnt] = c1
-        # group U (rows 32..47): U = (oxd).e2 + d.(p1 x e2)
-        f[2 * g + 3:2 * g + 6, :cnt] = p1xe2.T
-        f[2 * g + 6:2 * g + 9, :cnt] = e2.T
-        # group V (rows 48..63): V = -(oxd).e1 - d.(p1 x e1)
-        f[3 * g + 3:3 * g + 6, :cnt] = -p1xe1.T
-        f[3 * g + 6:3 * g + 9, :cnt] = -e1.T
-        # group E (rows 64..79): parallel threshold, constant per tri
-        f[4 * g + 9, :cnt] = PARALLEL_EPS * nlen
+        g = t_blk
+        # group A (cols 0..T-1): A = d.n  -> d rows get n
+        f[3:6, 0:cnt] = n.T
+        # group TN (cols T..2T-1): TN = c1 - o.n
+        f[0:3, g:g + cnt] = -n.T                # o rows: -n
+        f[9, g:g + cnt] = c1
+        # group U (cols 2T..3T-1): U = (oxd).e2 + d.(p1 x e2)
+        f[3:6, 2 * g:2 * g + cnt] = p1xe2.T
+        f[6:9, 2 * g:2 * g + cnt] = e2.T
+        # group V (cols 3T..4T-1): V = -(oxd).e1 - d.(p1 x e1)
+        f[3:6, 3 * g:3 * g + cnt] = -p1xe1.T
+        f[6:9, 3 * g:3 * g + cnt] = -e1.T
+        # group E (cols 4T..5T-1): parallel threshold, constant per tri
+        f[9, 4 * g:4 * g + cnt] = PARALLEL_EPS * nlen
         # padded slots: everything 0 => A=0, E=0 -> |A| <= E -> miss
 
     return ClusterSet(aabb_min=aabb_min, aabb_max=aabb_max, trifeat=trifeat,

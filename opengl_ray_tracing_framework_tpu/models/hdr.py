@@ -51,15 +51,39 @@ def load_hdr(path: str) -> np.ndarray:
     raw = np.frombuffer(data, np.uint8, offset=pos)
     out = np.zeros((height, width, 4), np.uint8)
     ptr = 0
+    prev = np.zeros(4, np.uint8)   # last decoded pixel, for old-style runs
+
+    def old_decrunch(y, x, ptr, prev):
+        """Old-format RLE: (1,1,1,count) markers repeat the previous pixel,
+        consecutive markers shift the count by 8 more bits each
+        (hdrloader.cpp:160-190 oldDecrunch)."""
+        rshift = 0
+        while x < width:
+            q = raw[ptr:ptr + 4]
+            ptr += 4
+            if q[0] == 1 and q[1] == 1 and q[2] == 1:
+                count = min(int(q[3]) << rshift, width - x)
+                out[y, x:x + count] = prev
+                x += count
+                rshift += 8
+            else:
+                out[y, x] = q
+                prev = q
+                x += 1
+                rshift = 0
+        return ptr, prev
 
     for y in range(height):
-        if (width < 8 or width > 0x7FFF or raw[ptr] != 2 or raw[ptr + 1] != 2
-                or (raw[ptr + 2] & 0x80)):
-            # Flat scanline (possibly old-style RLE, not emitted by modern
-            # tools; treat as raw RGBE quads).
-            row = raw[ptr:ptr + width * 4].reshape(width, 4)
-            out[y] = row
-            ptr += width * 4
+        # New-style detection follows decrunch (hdrloader.cpp:118-139):
+        # anything that is not a (2, 2, hi, lo) header decodes old-style.
+        if width < 8 or width > 0x7FFF or raw[ptr] != 2:
+            ptr, prev = old_decrunch(y, 0, ptr, prev)
+            continue
+        if raw[ptr + 1] != 2 or (raw[ptr + 2] & 0x80):
+            # first pixel is literal (2, g, b, e); rest is old-style
+            out[y, 0] = raw[ptr:ptr + 4]
+            prev = raw[ptr:ptr + 4]
+            ptr, prev = old_decrunch(y, 1, ptr + 4, prev)
             continue
         scan_w = (int(raw[ptr + 2]) << 8) | int(raw[ptr + 3])
         if scan_w != width:
@@ -77,6 +101,7 @@ def load_hdr(path: str) -> np.ndarray:
                     out[y, x:x + code, c] = raw[ptr:ptr + code]
                     ptr += code
                     x += code
+        prev = out[y, -1]
 
     rgbe = out.astype(np.float32)
     e = rgbe[..., 3]

@@ -255,6 +255,12 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
 
 # ---------------------------------------------------------------------------
 # Legacy BRDF integrator (enableBSDF = false)
+#
+# Parity note: enable_mis is deliberately NOT consulted here — the
+# reference's BRDF mode applies the power heuristic unconditionally in both
+# the NEE (glsl:1310-1322) and the bounce-miss pickup (glsl:1345-1352); only
+# the BSDF mode has the `!enableMultiImportantSample -> weight = 1` override
+# (glsl:1400-1402, 1491-1493).
 # ---------------------------------------------------------------------------
 
 

@@ -71,6 +71,19 @@ def cluster_tnear(origin, direction, cl_min, cl_max):
     return jnp.where(visit, jnp.maximum(t0, 0.0), INF)
 
 
+def _direction_key(direction):
+    """11-bit quantized direction (6b azimuth, 5b elevation) — the sort key
+    that groups rays with similar candidate-cluster sets into the same
+    tiles. Equal keys keep their original (pixel-block) order: lax.sort is
+    stable, so coherent primary rays are left untouched."""
+    phi = jnp.arctan2(direction[:, 2], direction[:, 0])
+    kphi = jnp.clip(((phi * (0.5 / jnp.pi) + 0.5) * 64).astype(jnp.int32),
+                    0, 63)
+    kct = jnp.clip(((direction[:, 1] * 0.5 + 0.5) * 32).astype(jnp.int32),
+                   0, 31)
+    return kphi * 32 + kct
+
+
 class _Carry(NamedTuple):
     best: jax.Array      # (R, 8) f32 best-hit records
     visited: jax.Array   # (R, C) bool clusters already tested for this ray
@@ -96,6 +109,20 @@ def _scheduled_impl(origin, direction, mask, cl_min, cl_max, trifeat,
     r = origin.shape[0]
     g = r // RAY_TILE
     k = min(top_k, c)
+
+    # Sort rays by quantized direction so each tile's rays share candidate
+    # clusters (a multi-tile batch of bounce/shadow rays is otherwise
+    # direction-incoherent and every tile elects every cluster). One
+    # 2-operand key sort + row gathers in, one 4-operand sort back out.
+    mask_in = mask
+    sort_rays = g > 1
+    if sort_rays:
+        key = jnp.where(mask, _direction_key(direction), 1 << 12)
+        perm = jax.lax.sort((key.astype(jnp.int32),
+                             jnp.arange(r, dtype=jnp.int32)), num_keys=1)[1]
+        origin = origin[perm]
+        direction = direction[perm]
+        mask = mask[perm]
 
     rayfeat = ray_features(origin, direction)
     tnear = cluster_tnear(origin, direction, cl_min, cl_max)
@@ -148,11 +175,17 @@ def _scheduled_impl(origin, direction, mask, cl_min, cl_max, trifeat,
     final = jax.lax.while_loop(cond, body, init)
     best = final.best
 
+    if sort_rays:   # restore original ray order
+        _, t_all, slot_all, inside_all = jax.lax.sort(
+            (perm, best[:, 0], best[:, 1], best[:, 2]), num_keys=1)
+    else:
+        t_all, slot_all, inside_all = best[:, 0], best[:, 1], best[:, 2]
+
     # masked lanes can pick up opportunistic tile hits — contract is a miss
-    m = mask[:r_in]
-    t = jnp.where(m, best[:r_in, 0], INF)
-    slot = jnp.where(m, best[:r_in, 1].astype(jnp.int32), -1)
-    inside = m & (best[:r_in, 2] > 0.5)
+    m = mask_in[:r_in]
+    t = jnp.where(m, t_all[:r_in], INF)
+    slot = jnp.where(m, slot_all[:r_in].astype(jnp.int32), -1)
+    inside = m & (inside_all[:r_in] > 0.5)
     tri = jnp.where(slot >= 0,
                     slot2tri[jnp.clip(slot, 0, slot2tri.shape[0] - 1)], -1)
     return Hit(t=t, tri=tri, inside=inside)

@@ -96,3 +96,31 @@ def camera_grad(scene, camera: Camera, target, config: RenderConfig,
         return jnp.sum((img - target) ** 2)
 
     return jax.value_and_grad(loss_fn)(camera)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "spp", "rays_per_tile"))
+def geometry_grad(scene, camera: Camera, target, config: RenderConfig,
+                  spp: int = 1, rays_per_tile: int = 65536):
+    """Single-device (loss, vertex_grads) w.r.t. the triangle vertices.
+
+    Shading recomputes the hit distance and normal from the fused tri_attr
+    table (ops.intersect.surface_attributes), so reverse-mode gradients
+    w.r.t. vertex positions flow through the hit point, the shading normal
+    and every downstream BSDF term. Traversal stays detached — silhouette
+    (visibility) gradients are the documented bias of detached sampling
+    (SURVEY.md §7).
+
+    Returns (loss, grads) with grads shaped (3, 3, N): d loss / d p_k[axis]
+    for vertex k of every leaf-ordered triangle.
+    """
+
+    def loss_fn(vertices):
+        tri_attr = scene.tri_attr.at[0:9, :].set(
+            vertices.reshape(9, -1))
+        sc = scene._replace(tri_attr=tri_attr)
+        img = render_rows_radiance(sc, camera, config, jnp.int32(0),
+                                   config.height, spp, rays_per_tile)
+        return jnp.sum((img - target) ** 2)
+
+    vertices = scene.tri_attr[0:9, :].reshape(3, 3, -1)
+    return jax.value_and_grad(loss_fn)(vertices)

@@ -30,7 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .models.camera import Camera, pixel_uv
+from .models.camera import Camera
 from .models.scene import SceneData
 from .ops.integrator import trace_radiance
 from .ops import tonemap
@@ -52,19 +52,38 @@ def init_render_state(config: RenderConfig) -> RenderState:
     )
 
 
+BLOCK = 32  # pixel-block side: 32x32 = one scheduled-tracer ray tile
+
+
 def _trace_image(scene: SceneData, camera: Camera, frame, config: RenderConfig,
                  rays_per_tile: int = 65536):
     """One sample per pixel -> (H, W, 3) radiance. frame is the 1-based
-    progressive index (camera.loopNum + 1, glsl:1325/1409)."""
-    n_pix = config.n_pixels
-    pixel_id = jnp.arange(n_pix, dtype=jnp.uint32)
+    progressive index (camera.loopNum + 1, glsl:1325/1409).
 
+    When the scheduled tracer is active, pixels are traced in 32x32-block
+    order so each 1024-ray tile covers a compact image square instead of a
+    full image row — block tiles intersect ~4x fewer BVH clusters (the
+    fragment-shader analogue is the GPU's native 2D warp rasterization
+    order, which the reference gets for free)."""
+    n_pix = config.n_pixels
+    h, w = config.height, config.width
+    blocked = (config.use_pallas and h % BLOCK == 0 and w % BLOCK == 0)
+
+    pixel_id = jnp.arange(n_pix, dtype=jnp.uint32)
+    if blocked:
+        pixel_id = pixel_id.reshape(
+            h // BLOCK, BLOCK, w // BLOCK, BLOCK
+        ).transpose(0, 2, 1, 3).reshape(-1)
+
+    px = (pixel_id % w).astype(jnp.float32)
+    py = (pixel_id // w).astype(jnp.float32)
     if config.pixel_jitter:
         ju = rand01(pixel_id, frame, 1001)
         jv = rand01(pixel_id, frame, 1002)
-        u, v = pixel_uv(config.width, config.height, ju, jv)
     else:
-        u, v = pixel_uv(config.width, config.height)
+        ju = jv = 0.5
+    u = (px + ju) / w
+    v = (py + jv) / h
 
     origin, direction = camera.generate_rays(u, v)
 
@@ -86,14 +105,15 @@ def _trace_image(scene: SceneData, camera: Camera, frame, config: RenderConfig,
          direction.reshape(n_tiles, tile, 3),
          pixel_id.reshape(n_tiles, tile)),
     ).reshape(-1, 3)[:n_pix]
-    return radiance.reshape(config.height, config.width, 3)
+    if blocked:
+        return radiance.reshape(
+            h // BLOCK, w // BLOCK, BLOCK, BLOCK, 3
+        ).transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
+    return radiance.reshape(h, w, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "rays_per_tile"))
-def render_pass(scene: SceneData, camera: Camera, state: RenderState,
-                config: RenderConfig, rays_per_tile: int = 65536
-                ) -> RenderState:
-    """Advance the progressive render by spp_per_pass samples/pixel."""
+def _one_pass(scene: SceneData, camera: Camera, state: RenderState,
+              config: RenderConfig, rays_per_tile: int) -> RenderState:
     accum = state.accum
     n = state.n_samples
     for s in range(config.spp_per_pass):
@@ -103,6 +123,29 @@ def render_pass(scene: SceneData, camera: Camera, state: RenderState,
         accum = accum + (sample - accum) / cnt
     return RenderState(accum=accum,
                        n_samples=n + config.spp_per_pass)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "rays_per_tile"))
+def render_pass(scene: SceneData, camera: Camera, state: RenderState,
+                config: RenderConfig, rays_per_tile: int = 65536
+                ) -> RenderState:
+    """Advance the progressive render by spp_per_pass samples/pixel."""
+    return _one_pass(scene, camera, state, config, rays_per_tile)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "n_passes", "rays_per_tile"),
+    donate_argnames=("state",))
+def render_passes(scene: SceneData, camera: Camera, state: RenderState,
+                  config: RenderConfig, n_passes: int,
+                  rays_per_tile: int = 65536) -> RenderState:
+    """n_passes progressive passes as ONE device program: a lax.fori_loop
+    with the accumulator donated, so convergence runs (the reference's
+    3000-iteration loop, RenderSettings.h:90) never round-trip the
+    accumulator through the host and pay a single dispatch."""
+    def body(_, st):
+        return _one_pass(scene, camera, st, config, rays_per_tile)
+    return jax.lax.fori_loop(0, n_passes, body, state)
 
 
 def finalize(state: RenderState, config: RenderConfig):
@@ -129,10 +172,15 @@ def render_progressive(scene: SceneData, camera: Camera, config: RenderConfig,
     if n_iterations is None:
         n_iterations = config.max_iterations if config.max_iterations > 0 else 1
     n_passes = -(-n_iterations // config.spp_per_pass)
-    for i in range(n_passes):
-        state = render_pass(scene, camera, state, config, rays_per_tile)
-        if callback is not None:
-            callback(state, i)
+    if callback is None and n_passes > 1:
+        # no per-pass observer: run the whole loop on-device
+        state = render_passes(scene, camera, state, config, n_passes,
+                              rays_per_tile)
+    else:
+        for i in range(n_passes):
+            state = render_pass(scene, camera, state, config, rays_per_tile)
+            if callback is not None:
+                callback(state, i)
     return finalize(state, config), state
 
 

@@ -106,3 +106,82 @@ def test_load_reference_hdr():
     assert (img >= 0).all()
     assert img.max() > 1.0          # HDR content
     assert 0.01 < img.mean() < 100.0
+
+
+def _write_hdr(path, header_res, payload):
+    with open(path, "wb") as fh:
+        fh.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        fh.write(header_res)
+        fh.write(payload)
+
+
+def test_load_old_style_rle(tmp_path):
+    """Old-format scanlines: (1,1,1,count) markers repeat the previous
+    pixel, with consecutive markers shifting count by 8 bits
+    (hdrloader.cpp:160-190 oldDecrunch)."""
+    w, h = 12, 2
+    # row 0: pixel A, then a run of 11 copies via marker (1,1,1,11)
+    a = bytes([10, 20, 30, 130])
+    row0 = a + bytes([1, 1, 1, 11])
+    # row 1: pixel B, run of 4, pixel C, then 6 more of C via marker
+    b = bytes([40, 50, 60, 129])
+    c = bytes([70, 80, 90, 128])
+    row1 = b + bytes([1, 1, 1, 4]) + c + bytes([1, 1, 1, 6])
+    _write_hdr(tmp_path / "old.hdr", f"-Y {h} +X {w}\n".encode(),
+               row0 + row1)
+    img = load_hdr(str(tmp_path / "old.hdr"))
+    assert img.shape == (h, w, 3)
+
+    def rgbe(q):
+        e = q[3]
+        s = np.ldexp(1.0, e - 136) if e > 0 else 0.0
+        return np.asarray(list(q[:3]), np.float32) * s
+
+    np.testing.assert_allclose(img[0], np.tile(rgbe(a), (w, 1)), rtol=1e-6)
+    want1 = [rgbe(b)] * 5 + [rgbe(c)] * 7
+    np.testing.assert_allclose(img[1], np.asarray(want1), rtol=1e-6)
+
+
+def test_load_old_style_literal_first_pixel(tmp_path):
+    """A row starting with byte 2 that is not a new-style header decodes
+    its first quad literally, then continues old-style
+    (hdrloader.cpp:126-139)."""
+    w, h = 8, 1
+    first = bytes([2, 9, 9, 131])       # g != 2 -> literal pixel
+    row = first + bytes([1, 1, 1, 7])   # then 7 repeats
+    _write_hdr(tmp_path / "lit.hdr", f"-Y {h} +X {w}\n".encode(), row)
+    img = load_hdr(str(tmp_path / "lit.hdr"))
+    s = np.ldexp(1.0, 131 - 136)
+    np.testing.assert_allclose(
+        img[0], np.tile(np.asarray([2, 9, 9], np.float32) * s, (w, 1)),
+        rtol=1e-6)
+
+
+def test_env_sample_nearest_unbiased():
+    """MC estimate of the environment's total radiance through the NEE
+    sampler must match the direct texel sum — the invariant the round-1
+    xi-addressed pdf fetch broke (ADVICE.md round 1, high)."""
+    from opengl_ray_tracing_framework_tpu.models.hdr import build_env_fetch
+
+    hdr = make_gradient_hdr(64, 32)
+    h, w = hdr.shape[:2]
+    cache = build_hdr_cache(hdr)
+    fetch = jnp.asarray(build_env_fetch(hdr, cache))
+
+    n = 1 << 16
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    xi1, xi2 = rand01(pid, 0, 0), rand01(pid, 0, 1)
+
+    # truth: per-texel solid angle uses the same sin(pi * y_idx/H) Jacobian
+    # discretization as the sampler's pdf conversion
+    rows = np.arange(h) / h
+    d_omega = 2.0 * np.pi ** 2 * np.sin(np.pi * rows) / (w * h)
+    truth = (hdr * d_omega[:, None, None]).sum(axis=(0, 1))
+
+    for angle in (0.0, 0.37):
+        d, pdf = envmap.env_sample_nearest(fetch, h, w, xi1, xi2,
+                                           jnp.float32(angle))
+        rad = envmap.env_radiance_nearest(fetch, h, w, d,
+                                          jnp.float32(angle))
+        est = np.asarray(rad / pdf[:, None]).mean(axis=0)
+        np.testing.assert_allclose(est, truth, rtol=0.05)
