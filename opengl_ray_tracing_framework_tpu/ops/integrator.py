@@ -122,18 +122,24 @@ def trace_radiance(scene, origin, direction, pixel_id, frame, config):
 
 def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
                       config):
-    # Derive fresh carries from the ray arrays so their varying type under
-    # shard_map matches the loop outputs (jax >= 0.8 vma typing).
-    vary = jnp.zeros_like(origin) + jnp.zeros_like(direction)
+    # Derive fresh carries from the ray arrays AND the frame counter so
+    # their varying type under shard_map matches the loop outputs (jax >=
+    # 0.8 vma typing): rays vary over the pixel axis, the progressive frame
+    # varies over the spp axis, and the loop body mixes both.
+    vary = jnp.zeros_like(origin) + jnp.zeros_like(direction) \
+        + (frame * 0).astype(origin.dtype)
+    v0 = vary[:, 0]
+    z_i = v0.astype(jnp.int32)
+    z_b = z_i != 0
     state = PathState(
-        origin=origin + jnp.zeros_like(direction),
-        direction=direction,
-        t=hit0.t,
-        tri=hit0.tri,
-        inside=hit0.inside,
+        origin=origin + vary,
+        direction=direction + vary,
+        t=hit0.t + v0,
+        tri=hit0.tri + z_i,
+        inside=hit0.inside | z_b,
         history=1.0 + vary,
         lo=vary,
-        alive=hit0.is_hit,
+        alive=hit0.is_hit | z_b,
     )
     sobol_point = sobol_all_dims(frame)
 
@@ -266,18 +272,24 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
 
 def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
                       config):
-    # Derive fresh carries from the ray arrays so their varying type under
-    # shard_map matches the loop outputs (jax >= 0.8 vma typing).
-    vary = jnp.zeros_like(origin) + jnp.zeros_like(direction)
+    # Derive fresh carries from the ray arrays AND the frame counter so
+    # their varying type under shard_map matches the loop outputs (jax >=
+    # 0.8 vma typing): rays vary over the pixel axis, the progressive frame
+    # varies over the spp axis, and the loop body mixes both.
+    vary = jnp.zeros_like(origin) + jnp.zeros_like(direction) \
+        + (frame * 0).astype(origin.dtype)
+    v0 = vary[:, 0]
+    z_i = v0.astype(jnp.int32)
+    z_b = z_i != 0
     state = PathState(
-        origin=origin + jnp.zeros_like(direction),
-        direction=direction,
-        t=hit0.t,
-        tri=hit0.tri,
-        inside=hit0.inside,
+        origin=origin + vary,
+        direction=direction + vary,
+        t=hit0.t + v0,
+        tri=hit0.tri + z_i,
+        inside=hit0.inside | z_b,
         history=1.0 + vary,
         lo=vary,
-        alive=hit0.is_hit,
+        alive=hit0.is_hit | z_b,
     )
     sobol_point = sobol_all_dims(frame)
 

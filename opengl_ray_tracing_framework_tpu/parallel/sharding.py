@@ -36,28 +36,69 @@ def make_mesh(devices=None, axis_name: str = "tiles") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(devices=None, n_tiles: int | None = None) -> Mesh:
+    """2-D mesh ("tiles", "spp"): pixel rows x samples-per-pixel.
+
+    The spp axis shards the *temporal* accumulation axis (SURVEY.md §2.4
+    item 2): every spp-group renders the same pixels at different
+    progressive frames and the running mean is psum-merged — the second
+    way to scale a fixed-resolution render past the pixel count."""
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+    devices = np.asarray(devices)
+    n = devices.size
+    if n_tiles is None:
+        n_tiles = n // 2 if n % 2 == 0 and n > 1 else n
+    if n % n_tiles:
+        raise ValueError(f"{n} devices not divisible into {n_tiles} tiles")
+    return Mesh(devices.reshape(n_tiles, n // n_tiles), ("tiles", "spp"))
+
+
 def replicate_scene(scene, mesh: Mesh):
     """Place every scene leaf fully replicated on the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(scene, sharding)
 
 
-def _shard_rows(mesh: Mesh, config: RenderConfig):
-    n_dev = mesh.devices.size
-    if config.height % n_dev != 0:
-        raise ValueError(
-            f"height {config.height} not divisible by {n_dev} devices")
-    return NamedSharding(mesh, P("tiles", None, None))
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multi-host bring-up: jax.distributed.initialize from explicit args
+    or the JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    environment (no-op single-host when neither is present). Returns the
+    global device count. After this, the same mesh/shard_map code scales
+    rows over every host's chips — the scene is replicated per chip and
+    the hot loop stays collective-free, so DCN only carries startup and
+    image gathers."""
+    import os
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes
+            or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=process_id
+            or int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+    return len(jax.devices())
 
 
 def render_pass_sharded(scene, camera: Camera, state: RenderState,
                         config: RenderConfig, mesh: Mesh,
                         rays_per_tile: int = 65536) -> RenderState:
     """One (or spp_per_pass) progressive samples with pixels sharded over
-    the mesh. The accumulator stays sharded across passes; no collective is
-    needed until the image is fetched."""
-    row_sharding = _shard_rows(mesh, config)
+    the mesh's "tiles" axis and, when the mesh has an "spp" axis, sample
+    batches sharded over it (one psum-mean per pass is then the only
+    collective). The accumulator stays sharded across passes; no other
+    communication until the image is fetched."""
+    n_tiles = dict(zip(mesh.axis_names, mesh.devices.shape))["tiles"]
+    if config.height % n_tiles != 0:
+        raise ValueError(
+            f"height {config.height} not divisible by {n_tiles} tiles")
+    row_sharding = NamedSharding(mesh, P("tiles", None, None))
     rep = NamedSharding(mesh, P())
+    impl = _sharded_pass_impl_2d if "spp" in mesh.axis_names \
+        else _sharded_pass_impl
 
     @functools.partial(
         jax.jit,
@@ -67,10 +108,50 @@ def render_pass_sharded(scene, camera: Camera, state: RenderState,
     )
     def step(scene, camera, state, config=config,
              rays_per_tile=rays_per_tile):
-        return _sharded_pass_impl(scene, camera, state, config, mesh,
-                                  rays_per_tile)
+        return impl(scene, camera, state, config, mesh, rays_per_tile)
 
     return step(scene, camera, state)
+
+
+def _sharded_pass_impl_2d(scene, camera, state, config, mesh, rays_per_tile):
+    """("tiles", "spp") body: device (i, j) traces row block i at sample
+    frames j*L..j*L+L-1; the spp groups psum-merge their means."""
+    from jax import shard_map
+
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_tiles, n_spp = shape["tiles"], shape["spp"]
+    rows_per_dev = config.height // n_tiles
+    if config.spp_per_pass % n_spp:
+        raise ValueError(
+            f"spp_per_pass {config.spp_per_pass} not divisible by the "
+            f"spp axis ({n_spp})")
+    local_spp = config.spp_per_pass // n_spp
+
+    def device_block(scene, camera, accum_block, n_samples, tile_ids,
+                     spp_ids):
+        row0 = tile_ids[0] * rows_per_dev
+        base = n_samples + spp_ids[0] * local_spp
+        mean = jnp.zeros_like(accum_block)
+        for s in range(local_spp):
+            sample = _trace_rows(scene, camera, base + (s + 1), config,
+                                 row0, rows_per_dev, rays_per_tile)
+            mean = mean + (sample - mean) / (s + 1)
+        mean = jax.lax.psum(mean, "spp") / n_spp
+        spp = config.spp_per_pass
+        cnt = (n_samples + spp).astype(jnp.float32)
+        return accum_block + (mean - accum_block) * (spp / cnt)
+
+    accum = shard_map(
+        device_block,
+        mesh=mesh,
+        in_specs=(P(), P(), P("tiles", None, None), P(), P("tiles"),
+                  P("spp")),
+        out_specs=P("tiles", None, None),
+    )(scene, camera, state.accum, state.n_samples,
+      jnp.arange(n_tiles, dtype=jnp.int32),
+      jnp.arange(n_spp, dtype=jnp.int32))
+    return RenderState(accum=accum,
+                       n_samples=state.n_samples + config.spp_per_pass)
 
 
 def _sharded_pass_impl(scene, camera, state, config, mesh, rays_per_tile):

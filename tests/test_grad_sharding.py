@@ -120,3 +120,25 @@ def test_sharded_material_grad_matches_single(test_scene):
     np.testing.assert_allclose(
         np.asarray(grads_s.mat.base_color),
         np.asarray(grads_1.mat.base_color), rtol=5e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_spp_axis_sharding_matches_single(test_scene):
+    """(tiles, spp) 2-D mesh: the psum-merged sample mean must equal the
+    single-device sequential accumulation of the same frames."""
+    from opengl_ray_tracing_framework_tpu.parallel.sharding import (
+        make_mesh_2d,
+    )
+    cfg = ortf.RenderConfig(width=16, height=16, max_bounce=2,
+                            spp_per_pass=4)
+    mesh = make_mesh_2d(jax.devices()[:8], n_tiles=4)   # 4 tiles x 2 spp
+    scene_r = replicate_scene(test_scene, mesh)
+
+    single = render_pass(test_scene, CAM, init_render_state(cfg), cfg,
+                         rays_per_tile=256)
+    sharded = render_pass_sharded(scene_r, CAM, init_render_state(cfg),
+                                  cfg, mesh, rays_per_tile=64)
+    np.testing.assert_allclose(np.asarray(sharded.accum),
+                               np.asarray(single.accum), rtol=2e-5,
+                               atol=1e-6)
+    assert int(sharded.n_samples) == 4
