@@ -49,8 +49,11 @@ def main():
         scene_name = "procedural"
 
     camera = Camera.make(aspect=width / height)
+    # use_pallas: the scheduled-wavefront tracer — the TPU fast path
+    # (ops/schedule.py); parity vs the while-loop oracle is enforced by
+    # tests/test_tpu.py on hardware.
     config = RenderConfig(width=width, height=height, max_bounce=bounces,
-                          spp_per_pass=spp_per_pass)
+                          spp_per_pass=spp_per_pass, use_pallas=True)
 
     state = init_render_state(config)
     # warmup / compile

@@ -55,9 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preview-every", type=int, default=0,
                    help="write the current image to --out every N passes "
                         "(the live-preview analogue of the ImGui loop)")
-    p.add_argument("--tracer", default="scheduled",
-                   choices=("scheduled", "whileloop", "brute"),
-                   help="closest-hit backend (scheduled = TPU fast path)")
+    p.add_argument("--tracer", default="sweep",
+                   choices=("sweep", "scheduled", "whileloop", "brute"),
+                   help="closest-hit backend (sweep = TPU fast path)")
     return p
 
 
@@ -113,7 +113,8 @@ def main(argv=None):
         enable_tone_mapping=not args.no_tonemap,
         enable_gamma_correction=not args.no_gamma,
         use_bvh=args.tracer != "brute",
-        use_pallas=args.tracer == "scheduled",
+        use_pallas=args.tracer in ("sweep", "scheduled"),
+        pallas_backend="sweep" if args.tracer == "sweep" else "schedule",
     )
 
     state = init_render_state(config)

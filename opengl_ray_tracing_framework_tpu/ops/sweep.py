@@ -1,0 +1,235 @@
+"""Swept span-list closest hit: the single-kernel TPU traversal.
+
+The reference resolves a closest hit by walking the BVH per fragment with a
+stack (hitBVH, fragment_shader_ray_tracing.glsl:338-392). ops.schedule
+re-shaped that into rounds of (vote, elect top-K, dense intersect) — exact,
+but each round pays a host-visible while_loop step, a (R, C) candidate
+argmin, a (R, C) one-hot vote and a fresh pallas dispatch; incoherent NEE
+shadow batches take dozens of rounds (~3.3 s per 131k-ray cast measured on
+v5e — 26 of 30 seconds of a full 1024x512x8 pass).
+
+This module collapses the whole traversal into ONE pallas kernel:
+
+  host (jnp, fused):
+    1. tile_tn[g, c] = min over the tile's rays of the ray-cluster AABB
+       entry distance (INF where no overlap) — one fused slab+reduce,
+    2. per-tile span list = cluster ids sorted by tile_tn, ascending;
+       nspan = number of overlapped clusters (tiles of masked-off rays
+       get nspan = 0 and cost nothing).
+
+  kernel (grid = one step per ray tile):
+    a lax.while_loop over the tile's span list, double-buffering each
+    cluster's (16, 5T) triangle-feature block HBM -> VMEM with manual
+    DMA while the MXU intersects the previous one (models/clusters.py
+    derivation), and stopping at the first span whose entry distance
+    exceeds every live ray's current best hit — the batched equivalent of
+    the reference's `t_enter > best_t` stack cut (glsl:373-388).
+
+Exactness: spans are visited in conservative nearest-first order and the
+stop test uses the tile-max best t, so no cluster that could improve any
+ray's hit is ever skipped; every ray intersects every triangle of every
+visited cluster (dense tiles), so the result equals the brute-force
+closest hit. any_hit=True (NEE shadow rays) additionally drops rays from
+the stop test once they have any hit, which ends the sweep as soon as
+every live ray is occluded or out of candidates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import Hit, INF, T_MIN
+from .intersect_pallas import BEST_W, N_FEAT, RAY_TILE, ray_features
+from .schedule import cluster_tnear
+
+
+def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
+                  trifeat_hbm, out_ref, buf, sems, *,
+                  t_blk: int, any_hit: bool):
+    g = pl.program_id(0)
+    limit = nspan_ref[g]
+    out_ref[:] = best_in_ref[:]
+
+    spans_row = spans_ref[0]                    # (1, C) i32 in VMEM
+    tnear_row = tnear_ref[0]                    # (1, C) f32 in VMEM
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, spans_row.shape, 1)
+
+    def span_id(j):
+        # dynamic scalar extract from the VMEM row via one-hot reduce
+        return jnp.sum(jnp.where(iota_c == j, spans_row, 0))
+
+    def span_tnear(j):
+        return jnp.sum(jnp.where(iota_c == j, tnear_row, 0.0))
+
+    def dma(j):
+        return pltpu.make_async_copy(
+            trifeat_hbm.at[span_id(j)], buf.at[j % 2], sems.at[j % 2])
+
+    @pl.when(limit > 0)
+    def _():
+        dma(0).start()
+
+    rf = rayfeat_ref[:]                         # (RT, 16)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, t_blk), 1)
+
+    def body(carry):
+        j, _ = carry
+
+        @pl.when(j + 1 < limit)
+        def _():
+            dma(j + 1).start()
+
+        dma(j).wait()
+        tf = buf[j % 2]                                       # (16, 5T)
+        # f32 3-pass decomposition: the v5e MXU multiplies in bf16 by
+        # default (~2^-9 relative error on t — self-intersection acne).
+        ft = jnp.dot(rf, tf, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)     # (RT, 5T)
+        a = ft[:, 0:t_blk]                                    # d.n
+        tn = ft[:, t_blk:2 * t_blk]                           # (p1-o).n
+        u = ft[:, 2 * t_blk:3 * t_blk]                        # u*det
+        v = ft[:, 3 * t_blk:4 * t_blk]                        # v*det
+        eps = ft[:, 4 * t_blk:5 * t_blk]                      # parallel thr
+
+        not_par = jnp.abs(a) > eps
+        s = jnp.where(a > 0.0, -1.0, 1.0)
+        us = u * s
+        vs = v * s
+        in_tri = (us > 0.0) & (vs > 0.0) & (us + vs < jnp.abs(a))
+        t = tn / jnp.where(not_par, a, 1.0)
+        valid = not_par & in_tri & (t >= T_MIN)
+        tmat = jnp.where(valid, t - 1e-5, INF)                # (RT, T)
+
+        tmin = jnp.min(tmat, axis=1)                          # (RT,)
+        hit_any = tmin < INF
+        k = jnp.min(jnp.where(tmat <= tmin[:, None], lane, t_blk), axis=1)
+        onehot = (lane == k[:, None]).astype(jnp.float32)
+        a_win = jnp.sum(a * onehot, axis=1)
+
+        best = out_ref[:]
+        best_t = best[:, 0]
+        better = hit_any & (tmin < best_t)
+        slot = (span_id(j) * t_blk + k).astype(jnp.float32)
+        new_t = jnp.where(better, tmin, best_t)
+        new_slot = jnp.where(better, slot, best[:, 1])
+        new_inside = jnp.where(better, (a_win > 0.0).astype(jnp.float32),
+                               best[:, 2])
+        out_ref[:] = jnp.concatenate(
+            [new_t[:, None], new_slot[:, None], new_inside[:, None],
+             best[:, 3:]], axis=1)
+
+        # stop when the next span's conservative entry distance exceeds
+        # every live ray's best t (masked rays carry best_t = -INF and
+        # never extend the sweep; any-hit rays retire once occluded)
+        if any_hit:
+            live_t = jnp.where(new_slot < 0.0, new_t, -INF)
+        else:
+            live_t = new_t
+        thresh = jnp.max(live_t)
+        more = (j + 1 < limit) & (span_tnear(j + 1) < thresh)
+
+        # retire the in-flight prefetch when the prune ends the sweep early
+        @pl.when(~more & (j + 1 < limit))
+        def _():
+            dma(j + 1).wait()
+
+        return j + 1, more
+
+    jax.lax.while_loop(lambda c: c[1], body, (jnp.int32(0), limit > 0))
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
+                any_hit: bool, interpret: bool):
+    r_in = origin.shape[0]
+    c = cl_min.shape[0]
+    pad = (-r_in) % RAY_TILE
+    if pad:
+        origin = jnp.concatenate([origin, jnp.zeros((pad, 3), origin.dtype)])
+        direction = jnp.concatenate(
+            [direction,
+             jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], direction.dtype),
+                      (pad, 1))])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
+    r = origin.shape[0]
+    g = r // RAY_TILE
+    rows, cols = trifeat.shape[1], trifeat.shape[2]
+    t_blk = cols // 5
+
+    # 1. per-tile nearest-first span lists (fused slab test + tile reduce)
+    tn = cluster_tnear(origin, direction, cl_min, cl_max)     # (R, C)
+    tn = jnp.where(mask[:, None], tn, INF)
+    tile_tn = tn.reshape(g, RAY_TILE, c).min(axis=1)          # (G, C)
+    order = jnp.argsort(tile_tn, axis=1)
+    tile_sorted = jnp.take_along_axis(tile_tn, order, axis=1)
+    nspan = jnp.sum(tile_sorted < INF, axis=1).astype(jnp.int32)
+    spans = order.astype(jnp.int32).reshape(g, 1, c)
+    tile_sorted = tile_sorted.reshape(g, 1, c)
+
+    rayfeat = ray_features(origin, direction)
+    best = jnp.zeros((r, BEST_W), jnp.float32)
+    # masked rays: best_t = -INF so they never receive hits or extend sweeps
+    best = best.at[:, 0].set(jnp.where(mask, INF, -INF))
+    best = best.at[:, 1].set(-1.0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            # (G, 1, C) with (1, 1, C) blocks: the TPU block rule wants the
+            # last two dims divisible by (8, 128) or equal to the array's
+            pl.BlockSpec((1, 1, c), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # spans row
+            pl.BlockSpec((1, 1, c), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # tnear row
+            pl.BlockSpec((RAY_TILE, N_FEAT), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, BEST_W), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),             # trifeat (HBM)
+        ],
+        out_specs=pl.BlockSpec((RAY_TILE, BEST_W), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, cols), jnp.float32),         # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(_sweep_kernel, t_blk=t_blk, any_hit=any_hit)
+    best = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r, BEST_W), jnp.float32),
+        input_output_aliases={4: 0},     # best (arg 4 incl. scalar prefetch)
+        interpret=interpret,
+    )(nspan, spans, tile_sorted, rayfeat, best, trifeat)
+
+    m = mask[:r_in]
+    t = jnp.where(m, best[:r_in, 0], INF)
+    slot = jnp.where(m, best[:r_in, 1].astype(jnp.int32), -1)
+    inside = m & (best[:r_in, 2] > 0.5)
+    tri = jnp.where(slot >= 0,
+                    slot2tri[jnp.clip(slot, 0, slot2tri.shape[0] - 1)], -1)
+    return Hit(t=t, tri=tri, inside=inside)
+
+
+def closest_hit_swept(scene, origin, direction, config, mask=None,
+                      any_hit: bool = False, interpret: bool = False) -> Hit:
+    """Swept span-list closest (or any) hit against the scene clusters.
+
+    Exact closest-hit semantics of hitBVH (glsl:338-392); see module
+    docstring for the sweep argument. mask=False lanes return a miss.
+    """
+    if mask is None:
+        mask = jnp.ones(origin.shape[:1], bool)
+    return _swept_impl(
+        origin, direction, mask,
+        scene.cl_aabb_min, scene.cl_aabb_max,
+        scene.cl_trifeat, scene.cl_slot2tri,
+        any_hit=any_hit, interpret=interpret)

@@ -169,10 +169,16 @@ def closest_hit(scene, origin, direction, config, mask=None,
         hit = closest_hit_brute(origin, direction,
                                 scene.p1, scene.p2, scene.p3)
     elif config.use_pallas:
-        from .schedule import closest_hit_scheduled
-        hit = closest_hit_scheduled(scene, origin, direction, config,
+        if config.pallas_backend == "sweep":
+            from .sweep import closest_hit_swept
+            hit = closest_hit_swept(scene, origin, direction, config,
                                     mask=mask, any_hit=any_hit,
                                     interpret=config.pallas_interpret)
+        else:
+            from .schedule import closest_hit_scheduled
+            hit = closest_hit_scheduled(scene, origin, direction, config,
+                                        mask=mask, any_hit=any_hit,
+                                        interpret=config.pallas_interpret)
     else:
         hit = bvh_closest_hit(scene, origin, direction,
                               stack_depth=config.traversal_stack_depth,

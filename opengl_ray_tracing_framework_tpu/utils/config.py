@@ -46,8 +46,12 @@ class RenderConfig:
 
     # Backend switches.
     use_bvh: bool = True              # False -> brute force (oracle path)
-    use_pallas: bool = False          # scheduled-wavefront tracer (TPU path)
+    use_pallas: bool = False          # cluster tracer (the TPU fast path)
     pallas_interpret: bool = False    # run the kernel interpreted (CPU tests)
+    # Which cluster tracer: "sweep" = single-kernel span sweep with manual
+    # HBM->VMEM double buffering (ops/sweep.py); "schedule" = the
+    # round-based vote/elect tracer (ops/schedule.py). Both are exact.
+    pallas_backend: str = "sweep"
 
     # Scheduled-wavefront tracer knob (ops.schedule): clusters elected per
     # 1024-ray tile per round. Purely a performance knob — the round loop
@@ -64,6 +68,8 @@ class RenderConfig:
             raise ValueError("spp_per_pass must be >= 1")
         if self.sched_topk < 1:
             raise ValueError("sched_topk must be >= 1")
+        if self.pallas_backend not in ("sweep", "schedule"):
+            raise ValueError(f"unknown pallas_backend {self.pallas_backend}")
         return self
 
     @property

@@ -11,19 +11,41 @@ before any backend is touched.
 import os
 import sys
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# ORTF_TPU_TESTS=1 runs the hardware lane (tests marked @pytest.mark.tpu)
+# on the real device instead of the virtual CPU mesh:
+#   ORTF_TPU_TESTS=1 python -m pytest tests/ -m tpu
+RUN_TPU = os.environ.get("ORTF_TPU_TESTS") == "1"
+
+if not RUN_TPU:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not RUN_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: runs on real TPU hardware (ORTF_TPU_TESTS=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "tpu" in item.keywords and not RUN_TPU:
+            item.add_marker(pytest.mark.skip(
+                reason="TPU lane disabled (set ORTF_TPU_TESTS=1)"))
+        elif "tpu" not in item.keywords and RUN_TPU:
+            item.add_marker(pytest.mark.skip(
+                reason="CPU test skipped in the TPU lane"))
 
 
 @pytest.fixture(scope="session")
