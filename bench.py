@@ -3,14 +3,20 @@
 Renders the reference's default scene (floor + loong_100000, tear-glass
 material, HDR environment, 8 bounces, 1024x512 — Scene.h:111-162,
 RenderSettings.h:8-12) and reports traced rays per second for one
-progressive pass. Ray accounting is fixed by definition so rounds are
-comparable: each pixel sample launches 1 primary ray plus, per bounce,
-1 NEE shadow ray and 1 bounce ray => rays = W * H * spp * (1 + 2 * bounces),
-the same rays the reference megakernel issues per frame.
+progressive pass, forward AND forward+backward (the north-star metric of
+BASELINE.md is rays/sec/chip fwd+bwd). Ray accounting is fixed by
+definition so rounds are comparable: each pixel sample launches 1 primary
+ray plus, per bounce, 1 NEE shadow ray and 1 bounce ray
+=> rays = W * H * spp * (1 + 2 * bounces), the same rays the reference
+megakernel issues per frame. The backward pass re-plays the same rays
+under value_and_grad w.r.t. the material table (traversal detached,
+shading differentiated), so fwd+bwd rays/s = rays / grad-step seconds.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-vs_baseline is the ratio against the newest recorded BENCH_r*.json (1.0 if
-none exists — the reference publishes no numbers, BASELINE.md).
+`value` stays the forward number so vs_baseline is comparable with
+BENCH_r02 (251,753 rays/s fwd); `bwd_*` fields carry the gradient-step
+numbers. BENCH_TIMING=1 additionally prints the per-stage device-time
+breakdown (utils/timing.py) to stderr.
 """
 
 import glob
@@ -49,11 +55,12 @@ def main():
         scene_name = "procedural"
 
     camera = Camera.make(aspect=width / height)
-    # use_pallas: the scheduled-wavefront tracer — the TPU fast path
-    # (ops/schedule.py); parity vs the while-loop oracle is enforced by
-    # tests/test_tpu.py on hardware.
+    # use_pallas + pallas_backend="sweep": the span-sweep tracer
+    # (ops/sweep.py) — the TPU fast path this bench measures; parity vs
+    # the while-loop oracle is enforced by tests/test_tpu.py on hardware.
     config = RenderConfig(width=width, height=height, max_bounce=bounces,
-                          spp_per_pass=spp_per_pass, use_pallas=True)
+                          spp_per_pass=spp_per_pass, use_pallas=True,
+                          pallas_backend="sweep")
 
     state = init_render_state(config)
     # warmup / compile
@@ -73,6 +80,35 @@ def main():
 
     rays = width * height * spp_per_pass * (1 + 2 * bounces)
     rays_per_sec = rays / elapsed
+
+    # --- backward: one value_and_grad step w.r.t. the material table ------
+    import jax.numpy as jnp
+    from opengl_ray_tracing_framework_tpu.parallel.autodiff import (
+        material_grad,
+    )
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    t0 = time.time()
+    loss, grads = material_grad(scene, camera, target, config,
+                                spp=spp_per_pass,
+                                rays_per_tile=rays_per_tile)
+    jax.block_until_ready(loss)
+    bwd_compile_s = time.time() - t0
+    n_bwd = max(1, n_timed - 1)
+    t0 = time.time()
+    for _ in range(n_bwd):
+        loss, grads = material_grad(scene, camera, target, config,
+                                    spp=spp_per_pass,
+                                    rays_per_tile=rays_per_tile)
+    jax.block_until_ready(loss)
+    bwd_elapsed = (time.time() - t0) / n_bwd
+    bwd_rays_per_sec = rays / bwd_elapsed
+
+    if os.environ.get("BENCH_TIMING") == "1":
+        from opengl_ray_tracing_framework_tpu.utils.timing import (
+            format_breakdown, pass_breakdown)
+        times = pass_breakdown(scene, camera, config,
+                               rays_per_tile=rays_per_tile)
+        print(format_breakdown(times), file=sys.stderr)
 
     baseline = None
     recs = []
@@ -98,6 +134,9 @@ def main():
         "vs_baseline": round(rays_per_sec / baseline, 4) if baseline else 1.0,
         "pass_seconds": round(elapsed, 4),
         "compile_seconds": round(compile_s, 2),
+        "bwd_rays_per_sec": round(bwd_rays_per_sec, 1),
+        "bwd_step_seconds": round(bwd_elapsed, 4),
+        "bwd_compile_seconds": round(bwd_compile_s, 2),
         "device": str(jax.devices()[0]),
         "n_triangles": scene.n_triangles,
     }

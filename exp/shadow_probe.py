@@ -2,7 +2,7 @@
 import time, sys
 import numpy as np
 import jax, jax.numpy as jnp
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from opengl_ray_tracing_framework_tpu import RenderConfig
 from opengl_ray_tracing_framework_tpu.models.camera import Camera, pixel_uv
 from opengl_ray_tracing_framework_tpu.models.scene import build_reference_scene

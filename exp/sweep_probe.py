@@ -4,6 +4,7 @@ Usage:
   JAX_PLATFORMS=cpu python exp/sweep_probe.py cpu    # interpret parity
   python exp/sweep_probe.py tpu                      # hw parity + timing
 """
+import os
 import sys
 import time
 
@@ -13,7 +14,7 @@ mode = sys.argv[1] if len(sys.argv) > 1 else "cpu"
 if mode == "cpu":
     import jax
     jax.config.update("jax_platforms", "cpu")
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -17,6 +17,13 @@ Reference layer map: /root/reference/src (see SURVEY.md).
 
 __version__ = "0.1.0"
 
+from .utils.cache import enable_compilation_cache
+
+# Persistent XLA/Mosaic compilation cache: cold compiles of the fused
+# render program take minutes; cached reloads take seconds. Opt out with
+# ORTF_NO_CACHE=1 (utils/cache.py).
+enable_compilation_cache()
+
 from .utils.config import RenderConfig
 from .models.material import Material, MaterialTable, MEDIUM_NONE, MEDIUM_ABSORB, MEDIUM_SCATTER, MEDIUM_EMISSIVE
 from .models.camera import Camera

@@ -58,6 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tracer", default="sweep",
                    choices=("sweep", "scheduled", "whileloop", "brute"),
                    help="closest-hit backend (sweep = TPU fast path)")
+    p.add_argument("--timing", action="store_true",
+                   help="print a per-stage device-time breakdown "
+                        "(raygen/sort/tnear/casts/shade/env/accumulate) "
+                        "before rendering — the FPS/ms readout analogue "
+                        "(main.cpp:366-372)")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host "
+                        "runs (single-process runs don't need it)")
     return p
 
 
@@ -76,6 +84,10 @@ def main(argv=None):
     )
     from .utils.image import save_render
     from .utils import checkpoint as ckpt
+
+    if args.distributed:
+        from .parallel.sharding import init_distributed
+        init_distributed()
 
     t0 = time.time()
     if args.scene == "test":
@@ -116,6 +128,12 @@ def main(argv=None):
         use_pallas=args.tracer in ("sweep", "scheduled"),
         pallas_backend="sweep" if args.tracer == "sweep" else "schedule",
     )
+
+    if args.timing:
+        from .utils.timing import format_breakdown, pass_breakdown
+        times = pass_breakdown(scene, cam, config,
+                               rays_per_tile=args.rays_per_tile)
+        print(format_breakdown(times), file=sys.stderr)
 
     state = init_render_state(config)
     if args.resume:

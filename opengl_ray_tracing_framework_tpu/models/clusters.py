@@ -40,14 +40,19 @@ from .bvh import FlatBVH
 
 PARALLEL_EPS = 1e-5   # matches ops.intersect.PARALLEL_EPS
 
-# Feature-column layout of the (16, 5*T) per-cluster matrix: five T-column
-# groups [A | TN | U | V | E] side by side, so ONE MXU contraction
-# rayfeat (rays, 16) @ trifeat (16, 5T) produces every Moller-Trumbore
-# quantity for a tile x cluster pair (5 separate 16-row dots cost ~3x more
-# in kernel launches, measured on v5e). Ray feature vector is
-# [ox oy oz dx dy dz (oxd)x (oxd)y (oxd)z 1 0 0 0 0 0 0].
+# Feature-column layout of the (16, 4*T) per-cluster matrix: four T-column
+# groups [A | TN | U | V] side by side, so ONE MXU contraction
+# rayfeat (rays, 16) @ trifeat (16, 4T) produces every ray-dependent
+# Moller-Trumbore quantity for a tile x cluster pair (separate 16-row dots
+# cost ~3x more in kernel launches, measured on v5e). The parallel-test
+# threshold E is *ray-independent*, so it does not ride the matmul: it is
+# packed into the unused feature row 10 of the A group (rayfeat row 10 is
+# always 0, so it never leaks into A) and read directly by the kernels —
+# 20% less MXU work and DMA than a fifth column group. Ray feature vector
+# is [ox oy oz dx dy dz (oxd)x (oxd)y (oxd)z 1 0 0 0 0 0 0].
 N_RAY_FEAT = 16
-N_GROUPS = 5
+N_GROUPS = 4
+EPS_ROW = 10          # trifeat row carrying E in the A-group columns
 
 
 class ClusterSet(NamedTuple):
@@ -155,8 +160,10 @@ def build_clusters(bvh: FlatBVH, p1: np.ndarray, p2: np.ndarray,
         # group V (cols 3T..4T-1): V = -(oxd).e1 - d.(p1 x e1)
         f[3:6, 3 * g:3 * g + cnt] = -p1xe1.T
         f[6:9, 3 * g:3 * g + cnt] = -e1.T
-        # group E (cols 4T..5T-1): parallel threshold, constant per tri
-        f[9, 4 * g:4 * g + cnt] = PARALLEL_EPS * nlen
+        # parallel threshold E (ray-independent): row EPS_ROW of group A,
+        # read directly by the kernels (rayfeat row 10 is 0, so the A
+        # matmul output is unaffected)
+        f[EPS_ROW, 0:cnt] = PARALLEL_EPS * nlen
         # padded slots: everything 0 => A=0, E=0 -> |A| <= E -> miss
 
     return ClusterSet(aabb_min=aabb_min, aabb_max=aabb_max, trifeat=trifeat,

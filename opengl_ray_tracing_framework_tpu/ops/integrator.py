@@ -148,6 +148,12 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
 
         hh, ww = scene.hdr_map.shape[0], scene.hdr_map.shape[1]
 
+        # coherence hint for secondary casts: the cluster owning the
+        # surface this bounce departs from (rays spawned off the same
+        # treelet share near geometry — the sweep tracer sorts on it)
+        ocl = scene.tri2cluster[jnp.clip(state.tri, 0,
+                                         scene.n_triangles - 1)]
+
         # ---- 1. next-event estimation toward the environment ------------
         lo = state.lo
         if config.enable_env_map:
@@ -157,7 +163,8 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
                 scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
             facing = jnp.sum(n * l_dir, axis=-1) > 0.0
             shadow = closest_hit(scene, hit_point, l_dir, config,
-                                 mask=state.alive & facing, any_hit=True)
+                                 mask=state.alive & facing, any_hit=True,
+                                 sort_hint=ocl)
             vis = state.alive & facing & ~shadow.is_hit
             light_fr = env_radiance_nearest(
                 scene.env_fetch, hh, ww, l_dir, scene.env_angle) \
@@ -222,7 +229,8 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
         pdf_for_mis = jnp.where(med_sampled, hg_pdf, pdf_eval_dir)
 
         # ---- 4. trace the bounce ray ------------------------------------
-        nxt = closest_hit(scene, new_org, new_dir, config, mask=alive)
+        nxt = closest_hit(scene, new_org, new_dir, config, mask=alive,
+                          sort_hint=ocl)
         nxt_miss = alive & ~nxt.is_hit
 
         if config.enable_env_map:
@@ -299,6 +307,10 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
 
         hh, ww = scene.hdr_map.shape[0], scene.hdr_map.shape[1]
 
+        # coherence hint: cluster owning the departing surface (see BSDF)
+        ocl = scene.tri2cluster[jnp.clip(state.tri, 0,
+                                         scene.n_triangles - 1)]
+
         lo = state.lo
         if config.enable_env_map:
             xl1 = rand01(pixel_id, frame, 8 * b + 0)
@@ -307,7 +319,8 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
                 scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
             facing = jnp.sum(n * l_dir, axis=-1) > 0.0
             shadow = closest_hit(scene, hit_point, l_dir, config,
-                                 mask=state.alive & facing, any_hit=True)
+                                 mask=state.alive & facing, any_hit=True,
+                                 sort_hint=ocl)
             vis = state.alive & facing & ~shadow.is_hit
             light_fr = env_radiance_nearest(
                 scene.env_fetch, hh, ww, l_dir, scene.env_angle) \
@@ -336,7 +349,8 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
         history = jnp.where(alive[..., None], state.history * mult,
                             state.history)
 
-        nxt = closest_hit(scene, hit_point, l_dir, config, mask=alive)
+        nxt = closest_hit(scene, hit_point, l_dir, config, mask=alive,
+                          sort_hint=ocl)
         nxt_miss = alive & ~nxt.is_hit
 
         if config.enable_env_map:

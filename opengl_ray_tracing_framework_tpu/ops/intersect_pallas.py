@@ -35,6 +35,17 @@ from .intersect import INF, T_MIN
 RAY_TILE = 1024          # rays per tile (8 sublanes x 128 lanes)
 N_FEAT = 16              # ray feature vector width (10 used)
 BEST_W = 8               # best-hit record width: [t, slot, inside, pad...]
+EPS_ROW = 10             # trifeat row carrying E (models/clusters.py)
+
+# MXU precision for the Moller-Trumbore contraction. HIGHEST restores
+# ~1e-7 relative error on t via the f32 multi-pass decomposition (the v5e
+# MXU multiplies in bf16 by default — ~2^-9 on t shows as
+# self-intersection acne); "high" is the 3-pass middle ground.
+PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 
 
 def ray_features(origin, direction):
@@ -54,7 +65,7 @@ def init_best(n_rays: int):
 
 
 def _kernel(spans_ref, nspan_ref, rayfeat_ref, best_in_ref, trifeat_ref,
-            out_ref, *, t_blk: int, n_clusters: int):
+            out_ref, *, t_blk: int, n_clusters: int, precision: str):
     g = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -67,19 +78,16 @@ def _kernel(spans_ref, nspan_ref, rayfeat_ref, best_in_ref, trifeat_ref,
     @pl.when(jnp.logical_and(j < nspan_ref[g], c < n_clusters))
     def _():
         rf = rayfeat_ref[:]                                   # (RT, 16)
-        tf = trifeat_ref[0]                                   # (16, 5T)
-        # HIGHEST: the v5e MXU multiplies in bf16 by default, which costs
-        # ~2^-9 relative error on t — visible as self-intersection acne.
-        # The 3-pass f32 decomposition restores ~1e-7. One fused contraction
-        # over all five column groups: ~3x fewer kernel launches than five
-        # 16-row dots (measured v5e).
+        tf = trifeat_ref[0]                                   # (16, 4T)
+        # One fused contraction over all four column groups: fewer kernel
+        # launches than four 16-row dots (measured v5e).
         ft = jnp.dot(rf, tf, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)     # (RT, 5T)
+                     precision=PRECISIONS[precision])         # (RT, 4T)
         a = ft[:, 0:t_blk]                                    # d.n
         tn = ft[:, t_blk:2 * t_blk]                           # (p1-o).n
         u = ft[:, 2 * t_blk:3 * t_blk]                        # u*det
         v = ft[:, 3 * t_blk:4 * t_blk]                        # v*det
-        eps = ft[:, 4 * t_blk:5 * t_blk]                      # parallel thr
+        eps = tf[EPS_ROW, 0:t_blk][None, :]                   # parallel thr
 
         not_par = jnp.abs(a) > eps
         # det = -A; s = sign(det); strict interior test in det-scaled form
@@ -114,7 +122,7 @@ def _kernel(spans_ref, nspan_ref, rayfeat_ref, best_in_ref, trifeat_ref,
 
 
 def cluster_intersect(rayfeat, best, spans, nspan, trifeat,
-                      interpret: bool = False):
+                      interpret: bool = False, precision: str = "highest"):
     """Intersect sorted rays against their tiles' spanned clusters.
 
     rayfeat: (R, 16) f32, R multiple of RAY_TILE, sorted by cluster key.
@@ -122,7 +130,7 @@ def cluster_intersect(rayfeat, best, spans, nspan, trifeat,
     spans:   (G, J) i32 cluster ids spanned by each tile (>=n_clusters
              entries are skipped).
     nspan:   (G,) i32 number of valid span entries.
-    trifeat: (C, 80, T) f32 cluster matmul constants.
+    trifeat: (C, 16, 4T) f32 cluster matmul constants.
     Returns updated (R, 8) best records.
     """
     r = rayfeat.shape[0]
@@ -131,7 +139,7 @@ def cluster_intersect(rayfeat, best, spans, nspan, trifeat,
     jspans = spans.shape[1]
     c, rows, cols = trifeat.shape
     assert rows == N_FEAT, rows
-    t_blk = cols // 5
+    t_blk = cols // 4
     assert spans.shape == (g, jspans), (spans.shape, g, jspans)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -152,7 +160,8 @@ def cluster_intersect(rayfeat, best, spans, nspan, trifeat,
                                memory_space=pltpu.VMEM),
     )
 
-    kernel = functools.partial(_kernel, t_blk=t_blk, n_clusters=c)
+    kernel = functools.partial(_kernel, t_blk=t_blk, n_clusters=c,
+                               precision=precision)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -93,9 +93,10 @@ class _Carry(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "any_hit", "interpret"))
+    jax.jit, static_argnames=("top_k", "any_hit", "interpret", "precision"))
 def _scheduled_impl(origin, direction, mask, cl_min, cl_max, trifeat,
-                    slot2tri, top_k: int, any_hit: bool, interpret: bool):
+                    slot2tri, top_k: int, any_hit: bool, interpret: bool,
+                    precision: str = "highest"):
     r_in = origin.shape[0]
     c = cl_min.shape[0]
     pad = (-r_in) % RAY_TILE
@@ -160,7 +161,7 @@ def _scheduled_impl(origin, direction, mask, cl_min, cl_max, trifeat,
 
         # 3. dense MXU intersect of every tile against its elected clusters
         best = cluster_intersect(rayfeat, carry.best, spans, nspan, trifeat,
-                                 interpret=interpret)
+                                 interpret=interpret, precision=precision)
 
         # 4. elected clusters are now visited for every ray of the tile
         sched = jnp.any(
@@ -207,4 +208,5 @@ def closest_hit_scheduled(scene, origin, direction, config,
         origin, direction, mask,
         scene.cl_aabb_min, scene.cl_aabb_max,
         scene.cl_trifeat, scene.cl_slot2tri,
-        top_k=config.sched_topk, any_hit=any_hit, interpret=interpret)
+        top_k=config.sched_topk, any_hit=any_hit, interpret=interpret,
+        precision=config.mxu_precision)

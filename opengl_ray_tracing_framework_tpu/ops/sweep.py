@@ -22,16 +22,35 @@ This module collapses the whole traversal into ONE pallas kernel:
     cluster's (16, 5T) triangle-feature block HBM -> VMEM with manual
     DMA while the MXU intersects the previous one (models/clusters.py
     derivation), and stopping at the first span whose entry distance
-    exceeds every live ray's current best hit — the batched equivalent of
-    the reference's `t_enter > best_t` stack cut (glsl:373-388).
+    exceeds every live ray's current pruning bound.
 
-Exactness: spans are visited in conservative nearest-first order and the
-stop test uses the tile-max best t, so no cluster that could improve any
-ray's hit is ever skipped; every ray intersects every triangle of every
-visited cluster (dense tiles), so the result equals the brute-force
-closest hit. any_hit=True (NEE shadow rays) additionally drops rays from
-the stop test once they have any hit, which ends the sweep as soon as
-every live ray is occluded or out of candidates.
+Two measures keep incoherent (bounce/NEE shadow) batches off the
+everything-overlaps-everything cliff:
+
+  * rays are SORTED before tiling — dead (masked) lanes last, live rays
+    by (quantized origin cell, quantized direction) — so each tile's rays
+    share a compact candidate-cluster set and fully-dead tiles get
+    nspan = 0 and cost nothing. The permutation is inverted on the way
+    out, so callers see original order (same scheme as ops/schedule.py).
+  * each ray carries a static personal bound cap = nextafter(max finite
+    cluster-entry distance): a ray can never need a span whose tile entry
+    distance exceeds the entry distance of its own farthest overlapped
+    cluster, so rays that miss everything stop extending the sweep once
+    their own candidate list is exhausted (previously one miss ray forced
+    the tile through every overlapped cluster).
+
+Exactness: spans are visited in conservative nearest-first order; the
+sweep stops only when the next span's tile-min entry distance is >= every
+ray's min(best_t, cap). tile_tnear(s) <= tn[ray, s] for every ray, so a
+skipped span satisfies, per ray, either tn >= best_t (cannot improve the
+hit — the same reasoning as bvh_closest_hit's `d < best.t` early-out, an
+added exact optimization over the reference hitBVH, glsl:338-392, which
+pushes every child with d > 0) or tn > its farthest finite entry distance
+(the ray does not overlap the cluster at all). Every ray intersects every
+triangle of every visited cluster (dense tiles), so the result equals the
+brute-force closest hit. any_hit=True (NEE shadow rays) additionally
+drops rays from the stop test once they have any hit, which ends the
+sweep as soon as every live ray is occluded or out of candidates.
 """
 
 from __future__ import annotations
@@ -44,13 +63,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import Hit, INF, T_MIN
-from .intersect_pallas import BEST_W, N_FEAT, RAY_TILE, ray_features
+from .intersect_pallas import (
+    BEST_W,
+    EPS_ROW,
+    N_FEAT,
+    PRECISIONS,
+    RAY_TILE,
+    ray_features,
+)
 from .schedule import cluster_tnear
+
+_DEAD_KEY = 1 << 30   # sort key for masked lanes: grouped into trailing tiles
+
+
+def _sort_key(origin, direction, lo, hi):
+    """Coherence sort key: 6-bit origin cell (4x4x4 over the scene AABB)
+    major, 11-bit quantized direction (6b azimuth, 5b elevation) minor.
+    Rays sharing a key see nearly the same candidate-cluster set; lax.sort
+    is stable, so pixel-block order survives within equal keys."""
+    span = jnp.maximum(hi - lo, 1e-6)
+    cell = jnp.clip(((origin - lo) / span * 4.0).astype(jnp.int32), 0, 3)
+    ocell = (cell[:, 0] * 4 + cell[:, 1]) * 4 + cell[:, 2]
+    phi = jnp.arctan2(direction[:, 2], direction[:, 0])
+    kphi = jnp.clip(((phi * (0.5 / jnp.pi) + 0.5) * 64).astype(jnp.int32),
+                    0, 63)
+    kct = jnp.clip(((direction[:, 1] * 0.5 + 0.5) * 32).astype(jnp.int32),
+                   0, 31)
+    return ocell * 2048 + kphi * 32 + kct
 
 
 def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
                   trifeat_hbm, out_ref, buf, sems, *,
-                  t_blk: int, any_hit: bool):
+                  t_blk: int, any_hit: bool, tile_r: int, precision: str):
     g = pl.program_id(0)
     limit = nspan_ref[g]
     out_ref[:] = best_in_ref[:]
@@ -75,7 +119,7 @@ def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
         dma(0).start()
 
     rf = rayfeat_ref[:]                         # (RT, 16)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, t_blk), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_r, t_blk), 1)
 
     def body(carry):
         j, _ = carry
@@ -85,16 +129,17 @@ def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
             dma(j + 1).start()
 
         dma(j).wait()
-        tf = buf[j % 2]                                       # (16, 5T)
-        # f32 3-pass decomposition: the v5e MXU multiplies in bf16 by
-        # default (~2^-9 relative error on t — self-intersection acne).
+        tf = buf[j % 2]                                       # (16, 4T)
+        # precision="highest": f32 multi-pass decomposition — the v5e MXU
+        # multiplies in bf16 by default (~2^-9 relative error on t —
+        # self-intersection acne).
         ft = jnp.dot(rf, tf, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)     # (RT, 5T)
+                     precision=PRECISIONS[precision])         # (RT, 4T)
         a = ft[:, 0:t_blk]                                    # d.n
         tn = ft[:, t_blk:2 * t_blk]                           # (p1-o).n
         u = ft[:, 2 * t_blk:3 * t_blk]                        # u*det
         v = ft[:, 3 * t_blk:4 * t_blk]                        # v*det
-        eps = ft[:, 4 * t_blk:5 * t_blk]                      # parallel thr
+        eps = tf[EPS_ROW, 0:t_blk][None, :]                   # parallel thr
 
         not_par = jnp.abs(a) > eps
         s = jnp.where(a > 0.0, -1.0, 1.0)
@@ -124,12 +169,16 @@ def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
              best[:, 3:]], axis=1)
 
         # stop when the next span's conservative entry distance exceeds
-        # every live ray's best t (masked rays carry best_t = -INF and
-        # never extend the sweep; any-hit rays retire once occluded)
+        # every live ray's pruning bound min(best_t, cap) — cap (col 3) is
+        # the ray's own farthest finite cluster-entry distance, so rays
+        # that miss everything stop mattering once their candidate list is
+        # exhausted. masked rays carry best_t = -INF and never extend the
+        # sweep; any-hit rays retire once occluded.
         if any_hit:
             live_t = jnp.where(new_slot < 0.0, new_t, -INF)
         else:
             live_t = new_t
+        live_t = jnp.minimum(live_t, best[:, 3])
         thresh = jnp.max(live_t)
         more = (j + 1 < limit) & (span_tnear(j + 1) < thresh)
 
@@ -143,12 +192,14 @@ def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
     jax.lax.while_loop(lambda c: c[1], body, (jnp.int32(0), limit > 0))
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret",
+                                              "tile_r", "precision"))
 def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
-                any_hit: bool, interpret: bool):
+                any_hit: bool, interpret: bool, tile_r: int = RAY_TILE,
+                precision: str = "highest", hint=None):
     r_in = origin.shape[0]
     c = cl_min.shape[0]
-    pad = (-r_in) % RAY_TILE
+    pad = (-r_in) % tile_r
     if pad:
         origin = jnp.concatenate([origin, jnp.zeros((pad, 3), origin.dtype)])
         direction = jnp.concatenate(
@@ -156,26 +207,61 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
              jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], direction.dtype),
                       (pad, 1))])
         mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
+        if hint is not None:
+            hint = jnp.concatenate([hint, jnp.zeros((pad,), hint.dtype)])
     r = origin.shape[0]
-    g = r // RAY_TILE
+    g = r // tile_r
     rows, cols = trifeat.shape[1], trifeat.shape[2]
-    t_blk = cols // 5
+    t_blk = cols // 4
+
+    # 0. coherence sort: dead lanes last (their tiles get nspan = 0 and
+    # cost nothing — wavefront compaction without dynamic shapes), live
+    # rays grouped by (origin cell, direction) so tiles share span lists.
+    mask_in = mask
+    sort_rays = g > 1
+    if sort_rays:
+        if hint is not None:
+            # caller-provided coherence hint (the integrator passes the
+            # cluster owning each ray's origin surface — rays spawned off
+            # the same treelet share near geometry exactly)
+            phi = jnp.arctan2(direction[:, 2], direction[:, 0])
+            kphi = jnp.clip(((phi * (0.5 / jnp.pi) + 0.5) * 64)
+                            .astype(jnp.int32), 0, 63)
+            kct = jnp.clip(((direction[:, 1] * 0.5 + 0.5) * 32)
+                           .astype(jnp.int32), 0, 31)
+            key = hint.astype(jnp.int32) * 2048 + kphi * 32 + kct
+        else:
+            lo = jnp.min(cl_min, axis=0)
+            hi = jnp.max(cl_max, axis=0)
+            key = _sort_key(origin, direction, lo, hi)
+        key = jnp.where(mask, key, _DEAD_KEY)
+        perm = jax.lax.sort((key.astype(jnp.int32),
+                             jnp.arange(r, dtype=jnp.int32)), num_keys=1)[1]
+        origin = origin[perm]
+        direction = direction[perm]
+        mask = mask[perm]
 
     # 1. per-tile nearest-first span lists (fused slab test + tile reduce)
     tn = cluster_tnear(origin, direction, cl_min, cl_max)     # (R, C)
     tn = jnp.where(mask[:, None], tn, INF)
-    tile_tn = tn.reshape(g, RAY_TILE, c).min(axis=1)          # (G, C)
+    tile_tn = tn.reshape(g, tile_r, c).min(axis=1)            # (G, C)
     order = jnp.argsort(tile_tn, axis=1)
     tile_sorted = jnp.take_along_axis(tile_tn, order, axis=1)
     nspan = jnp.sum(tile_sorted < INF, axis=1).astype(jnp.int32)
     spans = order.astype(jnp.int32).reshape(g, 1, c)
     tile_sorted = tile_sorted.reshape(g, 1, c)
 
+    # per-ray static pruning bound: a ray never needs a span whose entry
+    # distance exceeds its own farthest finite cluster-entry distance
+    # (nextafter: the bound itself must remain reachable — tn == cap)
+    cap = jnp.nextafter(jnp.max(jnp.where(tn < INF, tn, -INF), axis=1), INF)
+
     rayfeat = ray_features(origin, direction)
     best = jnp.zeros((r, BEST_W), jnp.float32)
     # masked rays: best_t = -INF so they never receive hits or extend sweeps
     best = best.at[:, 0].set(jnp.where(mask, INF, -INF))
     best = best.at[:, 1].set(-1.0)
+    best = best.at[:, 3].set(cap)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -187,13 +273,13 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
                          memory_space=pltpu.VMEM),            # spans row
             pl.BlockSpec((1, 1, c), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),            # tnear row
-            pl.BlockSpec((RAY_TILE, N_FEAT), lambda i, *_: (i, 0),
+            pl.BlockSpec((tile_r, N_FEAT), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, BEST_W), lambda i, *_: (i, 0),
+            pl.BlockSpec((tile_r, BEST_W), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),             # trifeat (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),                # trifeat (HBM)
         ],
-        out_specs=pl.BlockSpec((RAY_TILE, BEST_W), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((tile_r, BEST_W), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, rows, cols), jnp.float32),         # double buffer
@@ -201,7 +287,8 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
         ],
     )
 
-    kernel = functools.partial(_sweep_kernel, t_blk=t_blk, any_hit=any_hit)
+    kernel = functools.partial(_sweep_kernel, t_blk=t_blk, any_hit=any_hit,
+                               tile_r=tile_r, precision=precision)
     best = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -210,21 +297,31 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
         interpret=interpret,
     )(nspan, spans, tile_sorted, rayfeat, best, trifeat)
 
-    m = mask[:r_in]
-    t = jnp.where(m, best[:r_in, 0], INF)
-    slot = jnp.where(m, best[:r_in, 1].astype(jnp.int32), -1)
-    inside = m & (best[:r_in, 2] > 0.5)
+    if sort_rays:   # restore original ray order
+        _, t_all, slot_all, inside_all = jax.lax.sort(
+            (perm, best[:, 0], best[:, 1], best[:, 2]), num_keys=1)
+    else:
+        t_all, slot_all, inside_all = best[:, 0], best[:, 1], best[:, 2]
+
+    m = mask_in[:r_in]
+    t = jnp.where(m, t_all[:r_in], INF)
+    slot = jnp.where(m, slot_all[:r_in].astype(jnp.int32), -1)
+    inside = m & (inside_all[:r_in] > 0.5)
     tri = jnp.where(slot >= 0,
                     slot2tri[jnp.clip(slot, 0, slot2tri.shape[0] - 1)], -1)
     return Hit(t=t, tri=tri, inside=inside)
 
 
 def closest_hit_swept(scene, origin, direction, config, mask=None,
-                      any_hit: bool = False, interpret: bool = False) -> Hit:
+                      any_hit: bool = False, interpret: bool = False,
+                      sort_hint=None) -> Hit:
     """Swept span-list closest (or any) hit against the scene clusters.
 
     Exact closest-hit semantics of hitBVH (glsl:338-392); see module
     docstring for the sweep argument. mask=False lanes return a miss.
+    sort_hint: optional (R,) int32 coherence key (e.g. the cluster owning
+    each ray's origin surface) used as the sort's major key instead of the
+    origin-cell grid — purely a performance hint, never affects results.
     """
     if mask is None:
         mask = jnp.ones(origin.shape[:1], bool)
@@ -232,4 +329,6 @@ def closest_hit_swept(scene, origin, direction, config, mask=None,
         origin, direction, mask,
         scene.cl_aabb_min, scene.cl_aabb_max,
         scene.cl_trifeat, scene.cl_slot2tri,
-        any_hit=any_hit, interpret=interpret)
+        any_hit=any_hit, interpret=interpret,
+        tile_r=config.sweep_tile, precision=config.mxu_precision,
+        hint=sort_hint)

@@ -1,0 +1,45 @@
+"""Persistent XLA compilation cache.
+
+The render pass is one large fused program (traversal kernels + Disney
+shading + media + MIS under a bounce fori_loop); a cold XLA+Mosaic compile
+of the flagship 1024x512x8 configuration takes minutes. The reference never
+pays this (GLSL programs compile in milliseconds at startup,
+src/core/Shader.h:21-108) — so to keep edit/re-render iteration interactive
+the framework enables JAX's persistent compilation cache: identical
+programs are served from disk across processes and rounds.
+
+Enabled automatically on package import (see __init__.py). Opt out with
+ORTF_NO_CACHE=1; point elsewhere with ORTF_CACHE_DIR=/path.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.expanduser("~/.cache/ortf/jax")
+
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Configure jax's persistent compilation cache (idempotent).
+
+    Returns the cache directory, or None when disabled via ORTF_NO_CACHE
+    or when jax is unavailable/already configured by the user.
+    """
+    if os.environ.get("ORTF_NO_CACHE") == "1":
+        return None
+    try:
+        import jax
+    except Exception:  # pragma: no cover - jax missing/broken
+        return None
+    if jax.config.jax_compilation_cache_dir:   # user already configured
+        return jax.config.jax_compilation_cache_dir
+    cache_dir = path or os.environ.get("ORTF_CACHE_DIR", _DEFAULT_DIR)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything that took real compile effort
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older jax flag names
+        return None
+    return cache_dir

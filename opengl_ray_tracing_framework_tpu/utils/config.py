@@ -46,7 +46,11 @@ class RenderConfig:
 
     # Backend switches.
     use_bvh: bool = True              # False -> brute force (oracle path)
-    use_pallas: bool = False          # cluster tracer (the TPU fast path)
+    # Cluster tracer (the TPU fast path). None = auto: resolved to True on
+    # a TPU backend at construction, False elsewhere (the Pallas TPU
+    # kernels need interpret mode off-TPU) — so `ortf.render(...)` uses
+    # the fast tracer out of the box on hardware.
+    use_pallas: bool | None = None
     pallas_interpret: bool = False    # run the kernel interpreted (CPU tests)
     # Which cluster tracer: "sweep" = single-kernel span sweep with manual
     # HBM->VMEM double buffering (ops/sweep.py); "schedule" = the
@@ -58,6 +62,25 @@ class RenderConfig:
     # runs until every ray's candidate list is exhausted, so any value
     # >= 1 is exact.
     sched_topk: int = 8
+    # Sweep-tracer rays per kernel tile (ops.sweep). Smaller tiles tighten
+    # each tile's union span list (less wasted work on incoherent bounce /
+    # shadow batches) at the cost of more grid steps; must be a multiple
+    # of 8 (VPU sublanes). Purely a performance knob — exact at any size.
+    sweep_tile: int = 1024
+    # MXU precision for the Moller-Trumbore contraction: "highest" (f32
+    # multi-pass, ~1e-7 on t), "high" (3-pass bf16), "default" (1-pass
+    # bf16 — ~2^-9 relative error on t, visible as self-intersection
+    # acne; only for throughput experiments).
+    mxu_precision: str = "highest"
+
+    def __post_init__(self):
+        if self.use_pallas is None:
+            try:
+                import jax
+                fast = jax.default_backend() == "tpu"
+            except Exception:   # pragma: no cover - jax unavailable/broken
+                fast = False
+            object.__setattr__(self, "use_pallas", fast)
 
     def validate(self) -> "RenderConfig":
         if self.width <= 0 or self.height <= 0:
@@ -70,6 +93,11 @@ class RenderConfig:
             raise ValueError("sched_topk must be >= 1")
         if self.pallas_backend not in ("sweep", "schedule"):
             raise ValueError(f"unknown pallas_backend {self.pallas_backend}")
+        if self.sweep_tile < 8 or self.sweep_tile % 8:
+            raise ValueError(f"sweep_tile must be a multiple of 8, got "
+                             f"{self.sweep_tile}")
+        if self.mxu_precision not in ("default", "high", "highest"):
+            raise ValueError(f"unknown mxu_precision {self.mxu_precision}")
         return self
 
     @property

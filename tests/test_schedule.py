@@ -74,7 +74,7 @@ def test_tnear_conservative(scene):
     tn = np.asarray(cluster_tnear(o, d, scene.cl_aabb_min,
                                   scene.cl_aabb_max))
     slot2tri = np.asarray(scene.cl_slot2tri)
-    t_blk = scene.cl_trifeat.shape[2] // 5
+    t_blk = scene.cl_trifeat.shape[2] // 4
     tri2cl = np.full(scene.n_triangles, -1, np.int64)
     for s, tri in enumerate(slot2tri):
         if tri >= 0:
