@@ -63,7 +63,6 @@ class SceneData(NamedTuple):
     cl_aabb_max: jax.Array      # (C, 3) float32
     cl_trifeat: jax.Array       # (C, 16, 4T) float32 MXU constants
     cl_slot2tri: jax.Array      # (C*T,) int32 padded slot -> tri id
-    tri2cluster: jax.Array      # (N,) int32 tri -> owning cluster (sort key)
     # Gather-friendly fused tables: TPU gathers run fastest as one
     # (F, N)-table row-block fetch per index (measured ~10x faster than
     # per-field (N,)/(N, F) gathers on v5e).
@@ -191,9 +190,6 @@ class Scene:
             cl_aabb_max=dev(clusters.aabb_max),
             cl_trifeat=dev(clusters.trifeat),
             cl_slot2tri=dev(clusters.slot2tri),
-            tri2cluster=dev(np.repeat(
-                np.arange(clusters.n_clusters, dtype=np.int32),
-                clusters.count).astype(np.int32)),
             tri_attr=dev(tri_attr),
             env_fetch=dev(env_fetch),
         )

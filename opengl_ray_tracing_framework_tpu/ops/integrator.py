@@ -7,8 +7,8 @@ Batched jnp re-architecture of the reference's per-fragment integrators
 - legacy BRDF mode:      shadingImportanceSampling_BRDF  glsl:1290-1367
 - kernel main (primary ray, env/sky miss, emissive pickup)  glsl:1518-1550
 
-Per bounce (bounded by max_bounce, a `lax.fori_loop` with masked lanes
-instead of the fragment shader's data-dependent break):
+Per bounce (bounded by max_bounce, a rematerialized `lax.scan` with masked
+lanes instead of the fragment shader's data-dependent break):
   1. next-event estimation toward the HDR environment with a shadow ray and
      power-heuristic MIS (glsl:1379-1406),
   2. Sobol-driven BSDF sampling with per-pixel Cranley-Patterson rotation
@@ -37,6 +37,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..models.material import (
     MEDIUM_ABSORB,
@@ -81,6 +82,50 @@ class PathState(NamedTuple):
     history: jax.Array     # (R, 3) path throughput
     lo: jax.Array          # (R, 3) accumulated radiance
     alive: jax.Array       # (R,) bool
+
+
+# (R, 3)-shaped PathState fields, flattened to (3R,) across the bounce-scan
+# boundary: reverse-mode AD stacks the loop carry per bounce, and a stacked
+# (B, R, 3) buffer is laid out with the 3-wide minor dim padded to 128
+# lanes (a measured 42.7x HBM expansion -> OOM at the bench shape); the
+# (B, 3R) stack of the flattened carry pads to ~1x.
+_VEC_FIELDS = (0, 1, 5, 6)   # origin, direction, history, lo
+
+
+def _flatten_state(state: PathState):
+    return tuple(x.reshape(-1) if i in _VEC_FIELDS else x
+                 for i, x in enumerate(state))
+
+
+def _unflatten_state(flat) -> PathState:
+    return PathState(*(x.reshape(-1, 3) if i in _VEC_FIELDS else x
+                       for i, x in enumerate(flat)))
+
+
+def _named_hit(hit, tag):
+    """checkpoint_name the traversal outputs: with the save_only policy the
+    bwd recompute of a bounce replays shading math but NOT the traversal
+    kernels (their outputs are the saved residuals, all (R,)-shaped)."""
+    return type(hit)(*(checkpoint_name(x, tag) for x in hit))
+
+
+def _bounce_scan(body, state: PathState, n: int) -> PathState:
+    """Run `body(b, state)` n times with per-bounce rematerialization.
+
+    Forward-only jit sees plain sequential iteration (checkpoint is
+    identity); under reverse-mode AD each bounce saves only its input
+    carry (flattened) and the checkpoint_name'd traversal outputs, and
+    recomputes the shading math in the backward sweep — O(R) residuals
+    per bounce instead of O(R * live-intermediates)."""
+    ckpt = jax.checkpoint(
+        lambda flat, b: (_flatten_state(body(b, _unflatten_state(flat))),
+                         None),
+        policy=jax.checkpoint_policies.save_only_these_names("hit"),
+        static_argnums=(),
+    )
+    flat, _ = jax.lax.scan(ckpt, _flatten_state(state),
+                           jnp.arange(n, dtype=jnp.int32))
+    return _unflatten_state(flat)
 
 
 def _safe_rcp(x, eps=_EPS_PDF):
@@ -148,12 +193,6 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
 
         hh, ww = scene.hdr_map.shape[0], scene.hdr_map.shape[1]
 
-        # coherence hint for secondary casts: the cluster owning the
-        # surface this bounce departs from (rays spawned off the same
-        # treelet share near geometry — the sweep tracer sorts on it)
-        ocl = scene.tri2cluster[jnp.clip(state.tri, 0,
-                                         scene.n_triangles - 1)]
-
         # ---- 1. next-event estimation toward the environment ------------
         lo = state.lo
         if config.enable_env_map:
@@ -162,9 +201,10 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
             l_dir, light_pdf = env_sample_nearest(
                 scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
             facing = jnp.sum(n * l_dir, axis=-1) > 0.0
-            shadow = closest_hit(scene, hit_point, l_dir, config,
-                                 mask=state.alive & facing, any_hit=True,
-                                 sort_hint=ocl)
+            shadow = _named_hit(
+                closest_hit(scene, hit_point, l_dir, config,
+                            mask=state.alive & facing, any_hit=True,
+                            secondary=True), "hit")
             vis = state.alive & facing & ~shadow.is_hit
             light_fr = env_radiance_nearest(
                 scene.env_fetch, hh, ww, l_dir, scene.env_angle) \
@@ -229,8 +269,9 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
         pdf_for_mis = jnp.where(med_sampled, hg_pdf, pdf_eval_dir)
 
         # ---- 4. trace the bounce ray ------------------------------------
-        nxt = closest_hit(scene, new_org, new_dir, config, mask=alive,
-                          sort_hint=ocl)
+        nxt = _named_hit(
+            closest_hit(scene, new_org, new_dir, config, mask=alive,
+                        secondary=True), "hit")
         nxt_miss = alive & ~nxt.is_hit
 
         if config.enable_env_map:
@@ -263,7 +304,7 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
             alive=alive & nxt.is_hit,
         )
 
-    final = jax.lax.fori_loop(0, config.max_bounce, body, state)
+    final = _bounce_scan(body, state, config.max_bounce)
     return final.lo
 
 
@@ -307,10 +348,6 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
 
         hh, ww = scene.hdr_map.shape[0], scene.hdr_map.shape[1]
 
-        # coherence hint: cluster owning the departing surface (see BSDF)
-        ocl = scene.tri2cluster[jnp.clip(state.tri, 0,
-                                         scene.n_triangles - 1)]
-
         lo = state.lo
         if config.enable_env_map:
             xl1 = rand01(pixel_id, frame, 8 * b + 0)
@@ -318,9 +355,10 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
             l_dir, light_pdf = env_sample_nearest(
                 scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
             facing = jnp.sum(n * l_dir, axis=-1) > 0.0
-            shadow = closest_hit(scene, hit_point, l_dir, config,
-                                 mask=state.alive & facing, any_hit=True,
-                                 sort_hint=ocl)
+            shadow = _named_hit(
+                closest_hit(scene, hit_point, l_dir, config,
+                            mask=state.alive & facing, any_hit=True,
+                            secondary=True), "hit")
             vis = state.alive & facing & ~shadow.is_hit
             light_fr = env_radiance_nearest(
                 scene.env_fetch, hh, ww, l_dir, scene.env_angle) \
@@ -349,8 +387,9 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
         history = jnp.where(alive[..., None], state.history * mult,
                             state.history)
 
-        nxt = closest_hit(scene, hit_point, l_dir, config, mask=alive,
-                          sort_hint=ocl)
+        nxt = _named_hit(
+            closest_hit(scene, hit_point, l_dir, config, mask=alive,
+                        secondary=True), "hit")
         nxt_miss = alive & ~nxt.is_hit
 
         if config.enable_env_map:
@@ -379,5 +418,5 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
             alive=alive & nxt.is_hit,
         )
 
-    final = jax.lax.fori_loop(0, config.max_bounce, body, state)
+    final = _bounce_scan(body, state, config.max_bounce)
     return final.lo

@@ -40,10 +40,9 @@ EPS_ROW = 10             # trifeat row carrying E (models/clusters.py)
 # MXU precision for the Moller-Trumbore contraction. HIGHEST restores
 # ~1e-7 relative error on t via the f32 multi-pass decomposition (the v5e
 # MXU multiplies in bf16 by default — ~2^-9 on t shows as
-# self-intersection acne); "high" is the 3-pass middle ground.
+# self-intersection acne). Mosaic does not lower the 3-pass HIGH tier.
 PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
 

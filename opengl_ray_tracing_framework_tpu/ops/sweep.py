@@ -27,11 +27,14 @@ This module collapses the whole traversal into ONE pallas kernel:
 Two measures keep incoherent (bounce/NEE shadow) batches off the
 everything-overlaps-everything cliff:
 
-  * rays are SORTED before tiling — dead (masked) lanes last, live rays
-    by (quantized origin cell, quantized direction) — so each tile's rays
-    share a compact candidate-cluster set and fully-dead tiles get
-    nspan = 0 and cost nothing. The permutation is inverted on the way
-    out, so callers see original order (same scheme as ops/schedule.py).
+  * rays are SORTED before tiling — rays that trace nothing (masked off,
+    or overlapping zero clusters: the measured MAJORITY of bounce rays
+    escape to the environment) last, live rays by (nearest candidate
+    cluster, quantized direction) — so each tile's span list approaches
+    the per-ray candidate lists (measured mean 1.2 clusters/ray on
+    loong-100k secondary batches, exp/span_stats.py) and trace-nothing
+    tiles get nspan = 0 and cost nothing. The permutation is inverted on
+    the way out, so callers see original order.
   * each ray carries a static personal bound cap = nextafter(max finite
     cluster-entry distance): a ray can never need a span whose tile entry
     distance exceeds the entry distance of its own farthest overlapped
@@ -73,23 +76,29 @@ from .intersect_pallas import (
 )
 from .schedule import cluster_tnear
 
-_DEAD_KEY = 1 << 30   # sort key for masked lanes: grouped into trailing tiles
+_DEAD_KEY = 1 << 30   # sort key for lanes that trace nothing
 
 
-def _sort_key(origin, direction, lo, hi):
-    """Coherence sort key: 6-bit origin cell (4x4x4 over the scene AABB)
-    major, 11-bit quantized direction (6b azimuth, 5b elevation) minor.
-    Rays sharing a key see nearly the same candidate-cluster set; lax.sort
-    is stable, so pixel-block order survives within equal keys."""
-    span = jnp.maximum(hi - lo, 1e-6)
-    cell = jnp.clip(((origin - lo) / span * 4.0).astype(jnp.int32), 0, 3)
-    ocell = (cell[:, 0] * 4 + cell[:, 1]) * 4 + cell[:, 2]
+def _sort_key(tn, direction, mask):
+    """Coherence sort key from the slab test itself.
+
+    Major: the ray's NEAREST candidate cluster (argmin of its cluster
+    entry distances) — rays that will sweep the same spans first end up in
+    the same tile, and cluster ids are BVH in-order so adjacent ids are
+    spatially adjacent treelets. Minor: 7-bit quantized direction.
+    Rays with NO candidates (measured: the majority of bounce rays — they
+    escape to the environment) get _DEAD_KEY and compact into trailing
+    tiles with nspan = 0 that cost nothing. lax.sort is stable, so
+    pixel-block order survives within equal keys."""
+    ncand = jnp.sum(tn < INF, axis=1)
+    nearest = jnp.argmin(tn, axis=1).astype(jnp.int32)
     phi = jnp.arctan2(direction[:, 2], direction[:, 0])
-    kphi = jnp.clip(((phi * (0.5 / jnp.pi) + 0.5) * 64).astype(jnp.int32),
-                    0, 63)
-    kct = jnp.clip(((direction[:, 1] * 0.5 + 0.5) * 32).astype(jnp.int32),
-                   0, 31)
-    return ocell * 2048 + kphi * 32 + kct
+    kphi = jnp.clip(((phi * (0.5 / jnp.pi) + 0.5) * 16).astype(jnp.int32),
+                    0, 15)
+    kct = jnp.clip(((direction[:, 1] * 0.5 + 0.5) * 8).astype(jnp.int32),
+                   0, 7)
+    key = nearest * 128 + kphi * 8 + kct
+    return jnp.where(mask & (ncand > 0), key, _DEAD_KEY)
 
 
 def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
@@ -196,7 +205,7 @@ def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
                                               "tile_r", "precision"))
 def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
                 any_hit: bool, interpret: bool, tile_r: int = RAY_TILE,
-                precision: str = "highest", hint=None):
+                precision: str = "highest"):
     r_in = origin.shape[0]
     c = cl_min.shape[0]
     pad = (-r_in) % tile_r
@@ -207,43 +216,31 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
              jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], direction.dtype),
                       (pad, 1))])
         mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
-        if hint is not None:
-            hint = jnp.concatenate([hint, jnp.zeros((pad,), hint.dtype)])
     r = origin.shape[0]
     g = r // tile_r
     rows, cols = trifeat.shape[1], trifeat.shape[2]
     t_blk = cols // 4
 
-    # 0. coherence sort: dead lanes last (their tiles get nspan = 0 and
-    # cost nothing — wavefront compaction without dynamic shapes), live
-    # rays grouped by (origin cell, direction) so tiles share span lists.
+    # 0. slab test (one fused ray x cluster pass), then the coherence
+    # sort: rays that trace nothing — masked off OR overlapping zero
+    # clusters — compact into trailing tiles with nspan = 0 that cost
+    # nothing (wavefront compaction without dynamic shapes); live rays
+    # group by (nearest candidate cluster, direction) so tile span lists
+    # approach the per-ray candidate lists (see _sort_key).
+    tn = cluster_tnear(origin, direction, cl_min, cl_max)     # (R, C)
+    tn = jnp.where(mask[:, None], tn, INF)
     mask_in = mask
     sort_rays = g > 1
     if sort_rays:
-        if hint is not None:
-            # caller-provided coherence hint (the integrator passes the
-            # cluster owning each ray's origin surface — rays spawned off
-            # the same treelet share near geometry exactly)
-            phi = jnp.arctan2(direction[:, 2], direction[:, 0])
-            kphi = jnp.clip(((phi * (0.5 / jnp.pi) + 0.5) * 64)
-                            .astype(jnp.int32), 0, 63)
-            kct = jnp.clip(((direction[:, 1] * 0.5 + 0.5) * 32)
-                           .astype(jnp.int32), 0, 31)
-            key = hint.astype(jnp.int32) * 2048 + kphi * 32 + kct
-        else:
-            lo = jnp.min(cl_min, axis=0)
-            hi = jnp.max(cl_max, axis=0)
-            key = _sort_key(origin, direction, lo, hi)
-        key = jnp.where(mask, key, _DEAD_KEY)
-        perm = jax.lax.sort((key.astype(jnp.int32),
-                             jnp.arange(r, dtype=jnp.int32)), num_keys=1)[1]
+        key = _sort_key(tn, direction, mask)
+        perm = jax.lax.sort((key, jnp.arange(r, dtype=jnp.int32)),
+                            num_keys=1)[1]
         origin = origin[perm]
         direction = direction[perm]
         mask = mask[perm]
+        tn = jnp.take(tn, perm, axis=0)
 
-    # 1. per-tile nearest-first span lists (fused slab test + tile reduce)
-    tn = cluster_tnear(origin, direction, cl_min, cl_max)     # (R, C)
-    tn = jnp.where(mask[:, None], tn, INF)
+    # 1. per-tile nearest-first span lists
     tile_tn = tn.reshape(g, tile_r, c).min(axis=1)            # (G, C)
     order = jnp.argsort(tile_tn, axis=1)
     tile_sorted = jnp.take_along_axis(tile_tn, order, axis=1)
@@ -314,14 +311,14 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
 
 def closest_hit_swept(scene, origin, direction, config, mask=None,
                       any_hit: bool = False, interpret: bool = False,
-                      sort_hint=None) -> Hit:
+                      secondary: bool = False) -> Hit:
     """Swept span-list closest (or any) hit against the scene clusters.
 
     Exact closest-hit semantics of hitBVH (glsl:338-392); see module
     docstring for the sweep argument. mask=False lanes return a miss.
-    sort_hint: optional (R,) int32 coherence key (e.g. the cluster owning
-    each ray's origin surface) used as the sort's major key instead of the
-    origin-cell grid — purely a performance hint, never affects results.
+    secondary: incoherent bounce/shadow batch — uses the smaller
+    config.sweep_tile_secondary kernel tile (tighter span unions); a pure
+    performance hint, never affects results.
     """
     if mask is None:
         mask = jnp.ones(origin.shape[:1], bool)
@@ -330,5 +327,6 @@ def closest_hit_swept(scene, origin, direction, config, mask=None,
         scene.cl_aabb_min, scene.cl_aabb_max,
         scene.cl_trifeat, scene.cl_slot2tri,
         any_hit=any_hit, interpret=interpret,
-        tile_r=config.sweep_tile, precision=config.mxu_precision,
-        hint=sort_hint)
+        tile_r=(config.sweep_tile_secondary if secondary
+                else config.sweep_tile),
+        precision=config.mxu_precision)

@@ -146,15 +146,15 @@ def bvh_closest_hit(scene, origin, direction, stack_depth: int = 64,
 
 
 def closest_hit(scene, origin, direction, config, mask=None,
-                any_hit: bool = False, sort_hint=None) -> Hit:
+                any_hit: bool = False, secondary: bool = False) -> Hit:
     """Dispatch on the configured backend.
 
     mask: optional (R,) bool — dead lanes may skip tracing (integrators
     gate on their own alive mask, so a miss is returned for them).
     any_hit: occlusion-query semantics; backends may stop at the first
     hit (is_hit is then the only meaningful field).
-    sort_hint: optional (R,) int32 coherence key for the sweep backend's
-    ray sort (see ops.sweep.closest_hit_swept) — a pure performance hint.
+    secondary: incoherent bounce/shadow batch (sweep backend picks its
+    smaller kernel tile) — a pure performance hint.
 
     Traversal is *detached* from autodiff: the discrete winner (tri, inside)
     has no useful derivative and lax.while_loop cannot be transposed, so
@@ -176,7 +176,7 @@ def closest_hit(scene, origin, direction, config, mask=None,
             hit = closest_hit_swept(scene, origin, direction, config,
                                     mask=mask, any_hit=any_hit,
                                     interpret=config.pallas_interpret,
-                                    sort_hint=sort_hint)
+                                    secondary=secondary)
         else:
             from .schedule import closest_hit_scheduled
             hit = closest_hit_scheduled(scene, origin, direction, config,

@@ -66,11 +66,15 @@ class RenderConfig:
     # each tile's union span list (less wasted work on incoherent bounce /
     # shadow batches) at the cost of more grid steps; must be a multiple
     # of 8 (VPU sublanes). Purely a performance knob — exact at any size.
+    # sweep_tile serves coherent primary casts; sweep_tile_secondary the
+    # incoherent bounce/NEE-shadow casts (exp/span_stats.py: tile unions
+    # shrink ~4x from 1024 -> 128 on secondary batches).
     sweep_tile: int = 1024
+    sweep_tile_secondary: int = 256
     # MXU precision for the Moller-Trumbore contraction: "highest" (f32
-    # multi-pass, ~1e-7 on t), "high" (3-pass bf16), "default" (1-pass
-    # bf16 — ~2^-9 relative error on t, visible as self-intersection
-    # acne; only for throughput experiments).
+    # multi-pass, ~1e-7 on t) or "default" (1-pass bf16 — ~2^-9 relative
+    # error on t, visible as self-intersection acne; only for throughput
+    # experiments). Mosaic does not implement the 3-pass "high" tier.
     mxu_precision: str = "highest"
 
     def __post_init__(self):
@@ -93,10 +97,11 @@ class RenderConfig:
             raise ValueError("sched_topk must be >= 1")
         if self.pallas_backend not in ("sweep", "schedule"):
             raise ValueError(f"unknown pallas_backend {self.pallas_backend}")
-        if self.sweep_tile < 8 or self.sweep_tile % 8:
-            raise ValueError(f"sweep_tile must be a multiple of 8, got "
-                             f"{self.sweep_tile}")
-        if self.mxu_precision not in ("default", "high", "highest"):
+        for f in ("sweep_tile", "sweep_tile_secondary"):
+            v = getattr(self, f)
+            if v < 8 or v % 8:
+                raise ValueError(f"{f} must be a multiple of 8, got {v}")
+        if self.mxu_precision not in ("default", "highest"):
             raise ValueError(f"unknown mxu_precision {self.mxu_precision}")
         return self
 

@@ -49,7 +49,7 @@ def pass_breakdown(scene, camera, config, rays_per_tile: int = 131072,
     from ..ops.integrator import PathState
     from ..ops.sampling import rand01
     from ..ops.schedule import cluster_tnear
-    from ..ops.sweep import _DEAD_KEY, _sort_key
+    from ..ops.sweep import _sort_key
     from ..ops.traverse import closest_hit
     from ..render import init_render_state, render_pass
 
@@ -69,16 +69,12 @@ def pass_breakdown(scene, camera, config, rays_per_tile: int = 131072,
         repeats=repeats)
 
     # coherence sort (what the sweep tracer pays per cast) -------------------
-    lo = jnp.min(scene.cl_aabb_min, axis=0)
-    hi = jnp.max(scene.cl_aabb_max, axis=0)
-
     def do_sort(o, d):
-        key = jnp.where(jnp.ones(o.shape[0], bool),
-                        _sort_key(o, d, lo, hi), _DEAD_KEY)
-        perm = jax.lax.sort((key.astype(jnp.int32),
-                             jnp.arange(o.shape[0], dtype=jnp.int32)),
+        tn = cluster_tnear(o, d, scene.cl_aabb_min, scene.cl_aabb_max)
+        key = _sort_key(tn, d, jnp.ones(o.shape[0], bool))
+        perm = jax.lax.sort((key, jnp.arange(o.shape[0], dtype=jnp.int32)),
                             num_keys=1)[1]
-        return o[perm], d[perm]
+        return o[perm], d[perm], jnp.take(tn, perm, axis=0)
 
     times["sort"] = _timeit(jax.jit(do_sort), o, d, repeats=repeats)
 
