@@ -152,9 +152,13 @@ def build_hdr_cache(hdr: np.ndarray) -> np.ndarray:
 
 
 def build_env_fetch(hdr: np.ndarray, cache: np.ndarray) -> np.ndarray:
-    """Fused (8, H*W) row-block fetch table for the in-loop env accesses.
+    """Fused (H*W, 8) row-gather table for the in-loop env accesses.
 
-    Rows: [map_r, map_g, map_b, pdf_img, cache_x, cache_y, pdf_sampled, 0].
+    Columns: [map_r, map_g, map_b, pdf_img, cache_x, cache_y, pdf_sampled, 0].
+    Texel index is the MAJOR axis: TPU gathers are fast along the sublane
+    (major) axis and ~40x slower along the lane (minor) axis (measured
+    249.95 ms vs 6.42 ms per 131072-index gather at this table size,
+    exp/env_gather_probe.py) — the round-3 breakdown's dominant cost.
     pdf_img is the image-space pdf addressed by *pixel position* (the
     reference's hdrPdf addressing, glsl:1173-1186); pdf_sampled is the pdf
     of the texel the inverse-CDF sampler lands on, addressed by the
@@ -172,7 +176,7 @@ def build_env_fetch(hdr: np.ndarray, cache: np.ndarray) -> np.ndarray:
         flat[:, 0], flat[:, 1], flat[:, 2],
         pdf_img.ravel(), cache[..., 0].ravel(), cache[..., 1].ravel(),
         pdf_sampled.ravel(), np.zeros(h * w, np.float32),
-    ]).astype(np.float32)
+    ], axis=-1).astype(np.float32)
 
 
 def make_gradient_hdr(width: int = 64, height: int = 32,

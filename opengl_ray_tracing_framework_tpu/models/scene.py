@@ -67,7 +67,7 @@ class SceneData(NamedTuple):
     # (F, N)-table row-block fetch per index (measured ~10x faster than
     # per-field (N,)/(N, F) gathers on v5e).
     tri_attr: jax.Array         # (20, N) f32 [p1 p2 p3 n1 n2 n3 mat_idx pad]
-    env_fetch: jax.Array        # (8, H*W) f32, layout: hdr.build_env_fetch
+    env_fetch: jax.Array        # (H*W, 8) f32, layout: hdr.build_env_fetch
 
     @property
     def n_triangles(self) -> int:

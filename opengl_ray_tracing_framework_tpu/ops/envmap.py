@@ -102,11 +102,14 @@ def hdr_pdf(hdr_cache, direction, env_angle, hdr_width, hdr_height):
 # ---------------------------------------------------------------------------
 # Fused nearest-texel fetch paths for the wavefront hot loop.
 #
-# TPU random gathers cost ~1.5 ns/element regardless of table size, so the
-# in-loop environment accesses are restructured as ONE row-block gather per
-# site from the fused (8, H*W) table SceneData.env_fetch
+# The in-loop environment accesses are restructured as ONE row gather per
+# site from the fused (H*W, 8) table SceneData.env_fetch, columns
 # [map_r, map_g, map_b, pdf_img, cache_x, cache_y, pdf_sampled, 0]
-# (models.hdr.build_env_fetch) with nearest filtering
+# (models.hdr.build_env_fetch) with nearest filtering. The texel index MUST
+# be the major axis: TPU gathers along the sublane (major) axis run at
+# ~6 ms / 131k indices at this table size, gathers along the lane (minor)
+# axis at ~250 ms (measured, exp/env_gather_probe.py — the round-3
+# breakdown's dominant pass cost at 3 such sites per bounce)
 # (the reference samples with GL bilinear; nearest is a documented deviation
 # worth ~3x fewer fetched elements, invisible at 1k+ HDR resolutions).
 # ---------------------------------------------------------------------------
@@ -131,8 +134,8 @@ def env_sample_nearest(env_fetch, h, w, xi_1, xi_2, env_angle):
     instead rotates only the pdf lookup — a documented inconsistency we
     do not reproduce)."""
     idx = _texel_index(xi_1, xi_2, h, w)
-    g = env_fetch[4:7, idx]                       # (3, R): x, y, pdf_sampled
-    x, y, pdf_img = g[0], g[1], g[2]
+    g = env_fetch[idx]                            # (R, 8) row gather
+    x, y, pdf_img = g[..., 4], g[..., 5], g[..., 6]
     yy = 1.0 - y
     # radiance lookups add env_angle to u, so emitting the direction whose
     # u_dir = x - env_angle makes lookups land on the sampled texel
@@ -151,8 +154,7 @@ def env_radiance_nearest(env_fetch, h, w, direction, env_angle):
     """Environment radiance along `direction`: one 3-row gather."""
     u, v = to_spherical_uv(direction, env_angle)
     idx = _texel_index(u, v, h, w)
-    g = env_fetch[0:3, idx]                       # (3, R)
-    return jnp.moveaxis(g, 0, -1)
+    return env_fetch[idx][..., 0:3]               # (R, 8) row gather
 
 
 def env_radiance_pdf_nearest(env_fetch, h, w, direction, env_angle):
@@ -160,10 +162,10 @@ def env_radiance_pdf_nearest(env_fetch, h, w, direction, env_angle):
     site, glsl:1483-1506): one 4-row gather."""
     u, v = to_spherical_uv(direction, env_angle)
     idx = _texel_index(u, v, h, w)
-    g = env_fetch[0:4, idx]                       # (4, R)
-    rgb = jnp.moveaxis(g[0:3], 0, -1)
+    g = env_fetch[idx]                            # (R, 8) row gather
+    rgb = g[..., 0:3]
     sin_theta = jnp.maximum(jnp.sin(PI * v), 1e-10)
-    pdf = g[3] * (w * h) / (TWO_PI * PI * sin_theta)
+    pdf = g[..., 3] * (w * h) / (TWO_PI * PI * sin_theta)
     return rgb, pdf
 
 
