@@ -123,6 +123,9 @@ def main():
     if recs:
         recs.sort()
         prev = recs[-1][1]
+        # the driver wraps the printed JSON line under "parsed"
+        if isinstance(prev, dict) and isinstance(prev.get("parsed"), dict):
+            prev = prev["parsed"]
         if isinstance(prev, dict) and prev.get("value"):
             baseline = float(prev["value"])
 
