@@ -58,8 +58,9 @@ frac = float(alive.mean())
 print(f"alive fraction after primary: {frac:.2f}", flush=True)
 
 
-def time_cast(tile, any_hit, d_, n=10):
-    cfg = cfg0.replace(sweep_tile_secondary=tile)
+def time_cast(tile, any_hit, d_, depth=8, n=10):
+    cfg = cfg0.replace(sweep_tile_secondary=tile,
+                       sweep_prefetch_depth=depth)
     f = jax.jit(lambda o, d, m: closest_hit_swept(
         scene, o, d, cfg, mask=m, any_hit=any_hit, secondary=True))
     jax.block_until_ready(f(hp, d_, alive).t)
@@ -70,9 +71,11 @@ def time_cast(tile, any_hit, d_, n=10):
     return (time.time() - t0) / n
 
 
-for tile in (128, 256, 512, 1024):
-    tb = time_cast(tile, False, bd)
-    ts = time_cast(tile, True, ld)
-    print(f"tile {tile:5d}: bounce-closest {tb*1e3:7.1f} ms "
-          f"({R/tb/1e6:5.2f} Mrays/s)   shadow-anyhit {ts*1e3:7.1f} ms "
-          f"({R/ts/1e6:5.2f} Mrays/s)", flush=True)
+for depth in (2, 4, 8, 16):
+    for tile in (128, 256, 512):
+        tb = time_cast(tile, False, bd, depth)
+        ts = time_cast(tile, True, ld, depth)
+        print(f"depth {depth:2d} tile {tile:5d}: "
+              f"bounce-closest {tb*1e3:7.1f} ms ({R/tb/1e6:5.2f} Mrays/s)   "
+              f"shadow-anyhit {ts*1e3:7.1f} ms ({R/ts/1e6:5.2f} Mrays/s)",
+              flush=True)

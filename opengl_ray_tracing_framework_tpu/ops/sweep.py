@@ -103,7 +103,8 @@ def _sort_key(tn, direction, mask):
 
 def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
                   trifeat_hbm, out_ref, buf, sems, *,
-                  t_blk: int, any_hit: bool, tile_r: int, precision: str):
+                  t_blk: int, any_hit: bool, tile_r: int, precision: str,
+                  depth: int):
     g = pl.program_id(0)
     limit = nspan_ref[g]
     out_ref[:] = best_in_ref[:]
@@ -121,11 +122,17 @@ def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
 
     def dma(j):
         return pltpu.make_async_copy(
-            trifeat_hbm.at[span_id(j)], buf.at[j % 2], sems.at[j % 2])
+            trifeat_hbm.at[span_id(j)], buf.at[j % depth], sems.at[j % depth])
 
-    @pl.when(limit > 0)
-    def _():
-        dma(0).start()
+    # prologue: fill the prefetch ring (depth - 1 spans in flight). The
+    # kernel is DMA-latency-bound at small tiles (~5 us/span wait vs
+    # ~1-2 us/span compute, exp/cast_tune.py), so one-deep double
+    # buffering leaves the wait on the critical path; a deeper ring
+    # overlaps the latencies of consecutive spans.
+    for k in range(depth - 1):
+        @pl.when(k < limit)
+        def _(k=k):
+            dma(k).start()
 
     rf = rayfeat_ref[:]                         # (RT, 16)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_r, t_blk), 1)
@@ -133,12 +140,12 @@ def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
     def body(carry):
         j, _ = carry
 
-        @pl.when(j + 1 < limit)
+        @pl.when(j + depth - 1 < limit)
         def _():
-            dma(j + 1).start()
+            dma(j + depth - 1).start()
 
         dma(j).wait()
-        tf = buf[j % 2]                                       # (16, 4T)
+        tf = buf[j % depth]                                   # (16, 4T)
         # precision="highest": f32 multi-pass decomposition — the v5e MXU
         # multiplies in bf16 by default (~2^-9 relative error on t —
         # self-intersection acne).
@@ -191,10 +198,11 @@ def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
         thresh = jnp.max(live_t)
         more = (j + 1 < limit) & (span_tnear(j + 1) < thresh)
 
-        # retire the in-flight prefetch when the prune ends the sweep early
-        @pl.when(~more & (j + 1 < limit))
-        def _():
-            dma(j + 1).wait()
+        # retire every in-flight prefetch when the prune ends the sweep early
+        for k in range(1, depth):
+            @pl.when(~more & (j + k < limit))
+            def _(k=k):
+                dma(j + k).wait()
 
         return j + 1, more
 
@@ -202,10 +210,10 @@ def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret",
-                                              "tile_r", "precision"))
+                                              "tile_r", "precision", "depth"))
 def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
                 any_hit: bool, interpret: bool, tile_r: int = RAY_TILE,
-                precision: str = "highest"):
+                precision: str = "highest", depth: int = 8):
     r_in = origin.shape[0]
     c = cl_min.shape[0]
     pad = (-r_in) % tile_r
@@ -279,13 +287,14 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
         out_specs=pl.BlockSpec((tile_r, BEST_W), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, cols), jnp.float32),         # double buffer
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((depth, rows, cols), jnp.float32),     # prefetch ring
+            pltpu.SemaphoreType.DMA((depth,)),
         ],
     )
 
     kernel = functools.partial(_sweep_kernel, t_blk=t_blk, any_hit=any_hit,
-                               tile_r=tile_r, precision=precision)
+                               tile_r=tile_r, precision=precision,
+                               depth=depth)
     best = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -329,4 +338,5 @@ def closest_hit_swept(scene, origin, direction, config, mask=None,
         any_hit=any_hit, interpret=interpret,
         tile_r=(config.sweep_tile_secondary if secondary
                 else config.sweep_tile),
-        precision=config.mxu_precision)
+        precision=config.mxu_precision,
+        depth=config.sweep_prefetch_depth)

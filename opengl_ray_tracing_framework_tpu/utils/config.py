@@ -70,7 +70,14 @@ class RenderConfig:
     # incoherent bounce/NEE-shadow casts (exp/span_stats.py: tile unions
     # shrink ~4x from 1024 -> 128 on secondary batches).
     sweep_tile: int = 1024
-    sweep_tile_secondary: int = 256
+    sweep_tile_secondary: int = 128
+    # Prefetch-ring depth of the sweep kernel's HBM->VMEM cluster DMAs.
+    # The kernel is DMA-latency-bound at small tiles (~5 us/span wait vs
+    # ~1-2 us/span compute, exp/cast_tune.py), so keeping depth-1 copies
+    # in flight overlaps consecutive spans' latencies. VMEM cost:
+    # depth x (16, 4*cluster_size) f32 (64 KB/slot at cluster_size 256).
+    # Purely a performance knob — exact at any value >= 2.
+    sweep_prefetch_depth: int = 8
     # MXU precision for the Moller-Trumbore contraction: "highest" (f32
     # multi-pass, ~1e-7 on t) or "default" (1-pass bf16 — ~2^-9 relative
     # error on t, visible as self-intersection acne; only for throughput
@@ -101,6 +108,8 @@ class RenderConfig:
             v = getattr(self, f)
             if v < 8 or v % 8:
                 raise ValueError(f"{f} must be a multiple of 8, got {v}")
+        if self.sweep_prefetch_depth < 2:
+            raise ValueError("sweep_prefetch_depth must be >= 2")
         if self.mxu_precision not in ("default", "highest"):
             raise ValueError(f"unknown mxu_precision {self.mxu_precision}")
         return self
