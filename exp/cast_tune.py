@@ -50,7 +50,7 @@ s = jnp.sqrt(jnp.maximum(1.0 - z1 * z1, 0.0))
 bd = jnp.stack([s * jnp.cos(z2), jnp.abs(z1), s * jnp.sin(z2)], axis=-1)
 
 hh, ww = scene.hdr_map.shape[0], scene.hdr_map.shape[1]
-ld, _ = env_sample_nearest(scene.env_fetch, hh, ww,
+ld, _, _ = env_sample_nearest(scene.env_fetch, hh, ww,
                            rand01(pid, jnp.int32(1), 0),
                            rand01(pid, jnp.int32(1), 1), scene.env_angle)
 hp, bd, ld, alive = jax.block_until_ready((hp, bd, ld, alive))

@@ -36,7 +36,7 @@ hp, n, vv, mat = surface_attributes(scene, st)
 hh, ww = scene.hdr_map.shape[0], scene.hdr_map.shape[1]
 pixid = jnp.asarray(pid, jnp.uint32)
 xl1 = rand01(pixid, 1, 0); xl2 = rand01(pixid, 1, 1)
-l_dir, _ = env_sample_nearest(scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
+l_dir, _, _ = env_sample_nearest(scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
 facing = jnp.sum(n * l_dir, axis=-1) > 0.0
 mask = hit0.is_hit & facing
 print("alive+facing:", int(mask.sum()), "/", R, flush=True)

@@ -60,7 +60,7 @@ hp, n, vdir, mat = surface_attributes(scene, st)
 hh, ww = scene.hdr_map.shape[0], scene.hdr_map.shape[1]
 xl1 = rand01(pid, jnp.int32(1), 0)
 xl2 = rand01(pid, jnp.int32(1), 1)
-sdir, _ = env_sample_nearest(scene.env_fetch, hh, ww, xl1, xl2,
+sdir, _, _ = env_sample_nearest(scene.env_fetch, hh, ww, xl1, xl2,
                              scene.env_angle)
 
 # cosine-hemisphere bounce directions around the shading normal

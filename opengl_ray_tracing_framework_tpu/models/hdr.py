@@ -152,30 +152,41 @@ def build_hdr_cache(hdr: np.ndarray) -> np.ndarray:
 
 
 def build_env_fetch(hdr: np.ndarray, cache: np.ndarray) -> np.ndarray:
-    """Fused (H*W, 8) row-gather table for the in-loop env accesses.
+    """Fused (H*W, 16) row-gather table for the in-loop env accesses.
 
-    Columns: [map_r, map_g, map_b, pdf_img, cache_x, cache_y, pdf_sampled, 0].
-    Texel index is the MAJOR axis: TPU gathers are fast along the sublane
-    (major) axis and ~40x slower along the lane (minor) axis (measured
-    249.95 ms vs 6.42 ms per 131072-index gather at this table size,
-    exp/env_gather_probe.py) — the round-3 breakdown's dominant cost.
-    pdf_img is the image-space pdf addressed by *pixel position* (the
-    reference's hdrPdf addressing, glsl:1173-1186); pdf_sampled is the pdf
+    Columns: [map_r, map_g, map_b, pdf_img, cache_x, cache_y, pdf_sampled,
+    sampled_r, sampled_g, sampled_b, 0...]. Texel index is the MAJOR axis:
+    TPU gathers are fast along the sublane (major) axis and ~40x slower
+    along the lane (minor) axis (measured 249.95 ms vs 6.42 ms per
+    131072-index gather at this table size, exp/env_gather_probe.py) — the
+    round-3 breakdown's dominant cost. pdf_img is the image-space pdf
+    addressed by *pixel position* (the reference's hdrPdf addressing,
+    glsl:1173-1186); pdf_sampled and sampled_rgb are the pdf and radiance
     of the texel the inverse-CDF sampler lands on, addressed by the
-    *uniforms* (xi_1, xi_2) like cache_x/cache_y — so the NEE sampler gets
-    its true pdf in the same single fetch as the sample position.
+    *uniforms* (xi_1, xi_2) like cache_x/cache_y — so NEE gets sample
+    position, its true pdf AND its radiance in ONE fetch (the reference
+    pays three texture lookups: SampleHdr + hdrColor + hdrPdf,
+    glsl:1382-1390). Gather cost is identical to an 8-wide row: the
+    gathered rows pad to 128 lanes either way.
     """
     h, w = hdr.shape[:2]
     # cache stores xs/w and ys/h; recover the exact integer sample indices
-    xs = np.clip(np.round(cache[..., 0].astype(np.float64) * w), 0, w - 1)
-    ys = np.clip(np.round(cache[..., 1].astype(np.float64) * h), 0, h - 1)
+    xs = np.clip(np.round(cache[..., 0].astype(np.float64) * w),
+                 0, w - 1).astype(np.int64)
+    ys = np.clip(np.round(cache[..., 1].astype(np.float64) * h),
+                 0, h - 1).astype(np.int64)
     pdf_img = cache[..., 2]
-    pdf_sampled = pdf_img[ys.astype(np.int64), xs.astype(np.int64)]
+    pdf_sampled = pdf_img[ys, xs]
+    sampled_rgb = hdr[ys, xs]                    # (H, W, 3)
     flat = hdr.reshape(-1, 3)
+    n = h * w
+    z = np.zeros(n, np.float32)
     return np.stack([
         flat[:, 0], flat[:, 1], flat[:, 2],
         pdf_img.ravel(), cache[..., 0].ravel(), cache[..., 1].ravel(),
-        pdf_sampled.ravel(), np.zeros(h * w, np.float32),
+        pdf_sampled.ravel(),
+        sampled_rgb[..., 0].ravel(), sampled_rgb[..., 1].ravel(),
+        sampled_rgb[..., 2].ravel(), z, z, z, z, z, z,
     ], axis=-1).astype(np.float32)
 
 

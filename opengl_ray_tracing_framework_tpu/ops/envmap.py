@@ -103,13 +103,13 @@ def hdr_pdf(hdr_cache, direction, env_angle, hdr_width, hdr_height):
 # Fused nearest-texel fetch paths for the wavefront hot loop.
 #
 # The in-loop environment accesses are restructured as ONE row gather per
-# site from the fused (H*W, 8) table SceneData.env_fetch, columns
-# [map_r, map_g, map_b, pdf_img, cache_x, cache_y, pdf_sampled, 0]
-# (models.hdr.build_env_fetch) with nearest filtering. The texel index MUST
+# site from the fused (H*W, 16) table SceneData.env_fetch (columns:
+# models.hdr.build_env_fetch) with nearest filtering. The texel index MUST
 # be the major axis: TPU gathers along the sublane (major) axis run at
 # ~6 ms / 131k indices at this table size, gathers along the lane (minor)
 # axis at ~250 ms (measured, exp/env_gather_probe.py — the round-3
-# breakdown's dominant pass cost at 3 such sites per bounce)
+# breakdown's dominant pass cost at 3 such sites per bounce). NEE needs a
+# single gather: the sample row carries position, pdf AND radiance
 # (the reference samples with GL bilinear; nearest is a documented deviation
 # worth ~3x fewer fetched elements, invisible at 1k+ HDR resolutions).
 # ---------------------------------------------------------------------------
@@ -122,19 +122,19 @@ def _texel_index(u, v, h, w):
 
 
 def env_sample_nearest(env_fetch, h, w, xi_1, xi_2, env_angle):
-    """NEE light sample from the inverse-CDF cache: one 3-row gather.
+    """NEE light sample from the inverse-CDF cache: ONE row gather.
 
-    Returns (direction, pdf_solid_angle). The pdf row 6 is the pdf of the
-    *sampled* texel (precomputed at build time, hdr.build_env_fetch), so
-    sample and pdf always belong to the same pixel — the sampler's true
-    pdf (the reference fetches it with a second hdrPdf texel lookup,
-    glsl:1382-1390). The returned direction is rotated by env_angle so the
-    sampling distribution tracks the rotated radiance lookup
-    (hdr_color/env_radiance_nearest add env_angle in u; the reference
-    instead rotates only the pdf lookup — a documented inconsistency we
-    do not reproduce)."""
+    Returns (direction, pdf_solid_angle, radiance). Columns 6-9 are the
+    pdf and radiance of the *sampled* texel (precomputed at build time,
+    hdr.build_env_fetch), so sample, pdf and radiance always belong to the
+    same pixel — the reference fetches them with three texture lookups
+    (SampleHdr + hdrPdf + hdrColor, glsl:1382-1390). The returned
+    direction is rotated by env_angle so the sampling distribution tracks
+    the rotated radiance lookup (hdr_color/env_radiance_nearest add
+    env_angle in u; the reference instead rotates only the pdf lookup — a
+    documented inconsistency we do not reproduce)."""
     idx = _texel_index(xi_1, xi_2, h, w)
-    g = env_fetch[idx]                            # (R, 8) row gather
+    g = env_fetch[idx]                            # (R, 16) row gather
     x, y, pdf_img = g[..., 4], g[..., 5], g[..., 6]
     yy = 1.0 - y
     # radiance lookups add env_angle to u, so emitting the direction whose
@@ -147,14 +147,14 @@ def env_sample_nearest(env_fetch, h, w, xi_1, xi_2, env_angle):
         axis=-1)
     sin_col = jnp.maximum(jnp.sin(PI * y), 1e-10)
     pdf = pdf_img * (w * h) / (TWO_PI * PI * sin_col)
-    return direction, pdf
+    return direction, pdf, g[..., 7:10]
 
 
 def env_radiance_nearest(env_fetch, h, w, direction, env_angle):
     """Environment radiance along `direction`: one 3-row gather."""
     u, v = to_spherical_uv(direction, env_angle)
     idx = _texel_index(u, v, h, w)
-    return env_fetch[idx][..., 0:3]               # (R, 8) row gather
+    return env_fetch[idx][..., 0:3]               # (R, 16) row gather
 
 
 def env_radiance_pdf_nearest(env_fetch, h, w, direction, env_angle):
@@ -162,7 +162,7 @@ def env_radiance_pdf_nearest(env_fetch, h, w, direction, env_angle):
     site, glsl:1483-1506): one 4-row gather."""
     u, v = to_spherical_uv(direction, env_angle)
     idx = _texel_index(u, v, h, w)
-    g = env_fetch[idx]                            # (R, 8) row gather
+    g = env_fetch[idx]                            # (R, 16) row gather
     rgb = g[..., 0:3]
     sin_theta = jnp.maximum(jnp.sin(PI * v), 1e-10)
     pdf = g[..., 3] * (w * h) / (TWO_PI * PI * sin_theta)

@@ -47,7 +47,6 @@ from ..models.material import (
 from . import disney
 from .envmap import (
     default_sky_color,
-    env_radiance_nearest,
     env_radiance_pdf_nearest,
     env_sample_nearest,
     hdr_color,
@@ -198,17 +197,16 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
         if config.enable_env_map:
             xl1 = rand01(pixel_id, frame, 8 * b + 0)
             xl2 = rand01(pixel_id, frame, 8 * b + 1)
-            l_dir, light_pdf = env_sample_nearest(
+            # ONE gather: sample direction, its pdf AND its radiance
+            l_dir, light_pdf, light_fr = env_sample_nearest(
                 scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
+            light_fr = light_fr * scene.env_intensity
             facing = jnp.sum(n * l_dir, axis=-1) > 0.0
             shadow = _named_hit(
                 closest_hit(scene, hit_point, l_dir, config,
                             mask=state.alive & facing, any_hit=True,
                             secondary=True), "hit")
             vis = state.alive & facing & ~shadow.is_hit
-            light_fr = env_radiance_nearest(
-                scene.env_fetch, hh, ww, l_dir, scene.env_angle) \
-                * scene.env_intensity
             f_eval, pdf_eval = disney.disney_eval(mat, v, n, l_dir)
             w = mis_weight(light_pdf, pdf_eval)
             if not config.enable_mis:
@@ -352,17 +350,16 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
         if config.enable_env_map:
             xl1 = rand01(pixel_id, frame, 8 * b + 0)
             xl2 = rand01(pixel_id, frame, 8 * b + 1)
-            l_dir, light_pdf = env_sample_nearest(
+            # ONE gather: sample direction, its pdf AND its radiance
+            l_dir, light_pdf, light_fr = env_sample_nearest(
                 scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
+            light_fr = light_fr * scene.env_intensity
             facing = jnp.sum(n * l_dir, axis=-1) > 0.0
             shadow = _named_hit(
                 closest_hit(scene, hit_point, l_dir, config,
                             mask=state.alive & facing, any_hit=True,
                             secondary=True), "hit")
             vis = state.alive & facing & ~shadow.is_hit
-            light_fr = env_radiance_nearest(
-                scene.env_fetch, hh, ww, l_dir, scene.env_angle) \
-                * scene.env_intensity
             f_eval, pdf_eval = disney.brdf_evaluate(
                 mat, v, n, l_dir, tangent, bitangent)
             ndotl = jnp.abs(jnp.sum(n * l_dir, axis=-1))

@@ -103,7 +103,7 @@ def pass_breakdown(scene, camera, config, rays_per_tile: int = 131072,
     hh, ww = scene.hdr_map.shape[0], scene.hdr_map.shape[1]
     xl1 = rand01(pid, jnp.int32(1), 0)
     xl2 = rand01(pid, jnp.int32(1), 1)
-    l_dir, _ = env_sample_nearest(scene.env_fetch, hh, ww, xl1, xl2,
+    l_dir, _, _ = env_sample_nearest(scene.env_fetch, hh, ww, xl1, xl2,
                                   scene.env_angle)
     hp, l_dir = jax.block_until_ready((hp, l_dir))
     times["shadow_cast"] = _timeit(lambda o, d: cast(o, d, True), hp, l_dir,
@@ -135,7 +135,7 @@ def pass_breakdown(scene, camera, config, rays_per_tile: int = 131072,
 
     # environment -------------------------------------------------------------
     def do_env(xl1, xl2, d):
-        ld, lpdf = env_sample_nearest(scene.env_fetch, hh, ww, xl1, xl2,
+        ld, lpdf, lfr = env_sample_nearest(scene.env_fetch, hh, ww, xl1, xl2,
                                       scene.env_angle)
         fr, pdf2 = env_radiance_pdf_nearest(scene.env_fetch, hh, ww, d,
                                             scene.env_angle)
