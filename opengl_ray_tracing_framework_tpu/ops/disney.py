@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .microfacet import (
@@ -68,9 +69,24 @@ from .sampling import (
 
 _EPS = 1e-10
 
+# Grazing-angle cutoff (cosine) and half-vector-Jacobian cutoff below which a
+# lobe is treated as zero. The reference kernel evaluates these singular
+# configurations raw and eats the resulting fireflies per-pixel (glsl:950-984);
+# under reverse-mode AD the same lanes produce cotangents ~1/eps^2 that
+# overflow f32 and poison every material gradient (round-3 repro: NaN at
+# 256x256x8). Cutting the measure-zero sliver |cos| < 1e-4 is invisible in the
+# image and keeps both primal and cotangents bounded.
+_COS_EPS = 1e-4
+_DENOM_EPS = 1e-3
 
-def _safe_div(a, b, eps=1e-7):
-    return a / jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
+
+def _mask1(ok, x, sub=1.0):
+    """Substitute `sub` on masked-off lanes BEFORE x enters a division.
+
+    jnp.where AFTER a division only fixes the primal: the unselected branch
+    still contributes `0 * inf = NaN` partials in reverse mode. Substituting
+    the *input* keeps every intermediate (and its cotangent) finite."""
+    return jnp.where(ok, x, sub)
 
 
 class BsdfSample(NamedTuple):
@@ -102,8 +118,9 @@ def eval_diffuse(mat, sheen_col, v, l, h):
     """
     lz = l[..., 2]
     vz = v[..., 2]
-    valid = lz > 0.0
+    valid = lz > _COS_EPS
 
+    lz = _mask1(valid, lz)
     ldoth = _dot(l, h)
     fl = schlick_fresnel(lz)
     fv = schlick_fresnel(vz)
@@ -113,7 +130,7 @@ def eval_diffuse(mat, sheen_col, v, l, h):
 
     fss90 = sqr(ldoth) * mat.roughness
     fss = mix(1.0, fss90, fl) * mix(1.0, fss90, fv)
-    ss = 1.25 * (fss * (_safe_div(1.0, lz + vz) - 0.5) + 0.5)
+    ss = 1.25 * (fss * (1.0 / jnp.maximum(lz + vz, _COS_EPS) - 0.5) + 0.5)
 
     f_sheen = fh[..., None] * mat.sheen[..., None] * sheen_col
     scale = (1.0 - mat.metallic) * (1.0 - mat.transmission)
@@ -128,17 +145,19 @@ def eval_spec_reflection(mat, eta, spec_col, v, l, h):
     """Anisotropic GGX reflection with VNDF pdf, local frame (glsl:950-964)."""
     lz = l[..., 2]
     vz = v[..., 2]
-    valid = lz > 0.0
+    valid = (lz > _COS_EPS) & (vz > _COS_EPS)
 
+    lz = _mask1(valid, lz)
+    vz = _mask1(valid, vz)
     ax, ay = mat.alpha_xy()
     fm = disney_fresnel(mat.metallic, eta, _dot(l, h), _dot(v, h))
     f_col = spec_col + fm[..., None] * (1.0 - spec_col)
     d = gtr2_aniso(h[..., 2], h[..., 0], h[..., 1], ax, ay)
-    g1 = smith_g_ggx_aniso(jnp.abs(vz), v[..., 0], v[..., 1], ax, ay)
-    g2 = g1 * smith_g_ggx_aniso(jnp.abs(lz), l[..., 0], l[..., 1], ax, ay)
+    g1 = smith_g_ggx_aniso(vz, v[..., 0], v[..., 1], ax, ay)
+    g2 = g1 * smith_g_ggx_aniso(lz, l[..., 0], l[..., 1], ax, ay)
 
-    pdf = _safe_div(g1 * d, 4.0 * vz)
-    f = f_col * _safe_div(d * g2, 4.0 * lz * vz)[..., None]
+    pdf = g1 * d / (4.0 * vz)
+    f = f_col * (d * g2 / (4.0 * lz * vz))[..., None]
     return (jnp.where(valid[..., None], f, 0.0), jnp.where(valid, pdf, 0.0))
 
 
@@ -150,22 +169,26 @@ def eval_spec_refraction(mat, eta, v, l, h):
     """
     lz = l[..., 2]
     vz = v[..., 2]
-    valid = lz < 0.0
-
-    ax, ay = mat.alpha_xy()
     vdoth = _dot(v, h)
     ldoth = _dot(l, h)
+    denom_raw = ldoth + vdoth * eta
+    valid = ((lz < -_COS_EPS) & (vz > _COS_EPS)
+             & (jnp.abs(denom_raw) > _DENOM_EPS))
+
+    lz = _mask1(valid, lz, -1.0)
+    vz = _mask1(valid, vz)
+    denom = sqr(_mask1(valid, denom_raw))
+    ax, ay = mat.alpha_xy()
     fr = dielectric_fresnel(jnp.abs(vdoth), eta)
     d = gtr2_aniso(h[..., 2], h[..., 0], h[..., 1], ax, ay)
     g1 = smith_g_ggx_aniso(jnp.abs(vz), v[..., 0], v[..., 1], ax, ay)
     g2 = g1 * smith_g_ggx_aniso(jnp.abs(lz), l[..., 0], l[..., 1], ax, ay)
-    denom = sqr(ldoth + vdoth * eta)
-    jacobian = _safe_div(jnp.abs(ldoth), denom)
+    jacobian = jnp.abs(ldoth) / denom
 
-    pdf = _safe_div(g1 * jnp.maximum(0.0, vdoth) * d * jacobian, vz)
+    pdf = g1 * jnp.maximum(0.0, vdoth) * d * jacobian / vz
     scale = ((1.0 - mat.metallic) * mat.transmission * (1.0 - fr) * d * g2
              * jnp.abs(vdoth) * jacobian * sqr(eta)
-             / jnp.maximum(jnp.abs(lz * vz), 1e-7))
+             / jnp.abs(lz * vz))
     f = safe_sqrt(mat.base_color) * scale[..., None]
     return (jnp.where(valid[..., None], f, 0.0), jnp.where(valid, pdf, 0.0))
 
@@ -174,18 +197,21 @@ def eval_clearcoat(mat, v, l, h):
     """GTR1 clearcoat lobe, local frame (glsl:986-1000)."""
     lz = l[..., 2]
     vz = v[..., 2]
-    valid = lz > 0.0
-
     vdoth = _dot(v, h)
+    valid = (lz > _COS_EPS) & (vz > _COS_EPS) & (jnp.abs(vdoth) > _COS_EPS)
+
+    lz = _mask1(valid, lz)
+    vz = _mask1(valid, vz)
+    vdoth = _mask1(valid, vdoth)
     fh = dielectric_fresnel(vdoth, 1.0 / 1.5)
     f_c = mix(0.04, 1.0, fh)
     d = gtr1(h[..., 2], mat.clearcoat_gloss)
     g = smith_g_ggx(lz, 0.25) * smith_g_ggx(vz, 0.25)
-    jacobian = _safe_div(1.0, 4.0 * vdoth)
+    jacobian = 1.0 / (4.0 * vdoth)
 
     pdf = d * h[..., 2] * jacobian
     f = (0.25 * mat.clearcoat * f_c * d * g
-         * _safe_div(1.0, 4.0 * lz * vz))[..., None] * jnp.ones(3, jnp.float32)
+         / (4.0 * lz * vz))[..., None] * jnp.ones(3, jnp.float32)
     return (jnp.where(valid[..., None], f, 0.0), jnp.where(valid, pdf, 0.0))
 
 
@@ -267,15 +293,23 @@ def disney_sample(mat, v_world, n, r1, r2, r3):
     cdf1 = cdf0 + w_coat
     # remaining mass = w_refl + w_refr
 
+    # The stretch of r1 back to [0,1) within the picked lobe's CDF span is a
+    # reparameterization of the RNG; differentiating through it adds nothing
+    # but 1/span^2 cotangents that overflow when a lobe's span is tiny (the
+    # pdf factors below keep their full gradients). Detach it — the standard
+    # detached-sampling estimator (same choice geometry_grad documents).
+    cdf0_d = jax.lax.stop_gradient(cdf0)
+    cdf1_d = jax.lax.stop_gradient(cdf1)
+
     # --- diffuse lobe -----------------------------------------------------
-    r1_d = _safe_div(r1, cdf0)
+    r1_d = r1 / jnp.maximum(cdf0_d, 1e-6)
     l_d = cosine_sample_hemisphere(jnp.clip(r1_d, 0.0, 1.0), r2)
     h_d = _normalize(l_d + v)
     f_d, pdf_d = eval_diffuse(mat, sheen_col, v, l_d, h_d)
     pdf_d = pdf_d * w_diff
 
     # --- clearcoat lobe ---------------------------------------------------
-    r1_c = _safe_div(r1 - cdf0, cdf1 - cdf0)
+    r1_c = (r1 - cdf0_d) / jnp.maximum(cdf1_d - cdf0_d, 1e-6)
     h_c = sample_gtr1(mat.clearcoat_gloss, jnp.clip(r1_c, 0.0, 1.0), r2)
     h_c = jnp.where((h_c[..., 2] < 0.0)[..., None], -h_c, h_c)
     l_c = _normalize(reflect(-v, h_c))
@@ -283,7 +317,7 @@ def disney_sample(mat, v_world, n, r1, r2, r3):
     pdf_c = pdf_c * w_coat
 
     # --- specular reflect / refract lobes ---------------------------------
-    r1_s = _safe_div(r1 - cdf1, 1.0 - cdf1)
+    r1_s = (r1 - cdf1_d) / jnp.maximum(1.0 - cdf1_d, 1e-6)
     ax, ay = mat.alpha_xy()
     h_s = sample_ggx_vndf(v, ax, ay, jnp.clip(r1_s, 0.0, 1.0), r2)
     h_s = jnp.where((h_s[..., 2] < 0.0)[..., None], -h_s, h_s)
@@ -346,11 +380,13 @@ def brdf_evaluate(mat, v, n, l, x, y):
     |cos| factor (the BRDF-mode integrator multiplies it explicitly)."""
     ndotl = _dot(n, l)
     ndotv = _dot(n, v)
-    valid = (ndotl >= 0.0) & (ndotv >= 0.0)
+    valid = (ndotl >= _COS_EPS) & (ndotv >= _COS_EPS)
 
+    ndotl = _mask1(valid, ndotl)
+    ndotv = _mask1(valid, ndotv)
     h = _normalize(l + v)
     ndoth = _dot(n, h)
-    ldoth = _dot(l, h)
+    ldoth = _mask1(jnp.abs(_dot(l, h)) > _COS_EPS, _dot(l, h))
 
     cdlin = mat.base_color
     ctint = calculate_tint(cdlin)
@@ -366,7 +402,7 @@ def brdf_evaluate(mat, v, n, l, x, y):
 
     fss90 = sqr(ldoth) * mat.roughness
     fss = mix(1.0, fss90, fl) * mix(1.0, fss90, fv)
-    ss = 1.25 * (fss * (_safe_div(1.0, ndotl + ndotv) - 0.5) + 0.5)
+    ss = 1.25 * (fss * (1.0 / jnp.maximum(ndotl + ndotv, _COS_EPS) - 0.5) + 0.5)
 
     fh = schlick_fresnel(ldoth)
     alpha = jnp.maximum(0.001, sqr(mat.roughness))
@@ -390,15 +426,15 @@ def brdf_evaluate(mat, v, n, l, x, y):
 
     diffuse = (INV_PI * mix(fd, ss, mat.subsurface)[..., None] * cdlin
                + f_sheen)
-    denom = _safe_div(1.0, 4.0 * ndotv * ndotl)
+    denom = 1.0 / (4.0 * ndotv * ndotl)
     specular = gs[..., None] * fs * ds[..., None] * denom[..., None]
     clearcoat = (0.25 * gr * fr * dr * mat.clearcoat * denom)[..., None] \
         * jnp.ones(3, jnp.float32)
 
     p_diff, p_spec, p_coat = brdf_lobe_pdfs(mat)
     pdf_diffuse = ndotl * INV_PI
-    pdf_specular = _safe_div(ds * ndoth, 4.0 * ldoth)
-    pdf_clearcoat = _safe_div(dr * ndoth, 4.0 * ldoth)
+    pdf_specular = ds * ndoth / (4.0 * ldoth)
+    pdf_clearcoat = dr * ndoth / (4.0 * ldoth)
     pdf = p_diff * pdf_diffuse + p_spec * pdf_specular + p_coat * pdf_clearcoat
     pdf = jnp.maximum(pdf, _EPS)
 
