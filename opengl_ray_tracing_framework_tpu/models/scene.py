@@ -55,7 +55,6 @@ class SceneData(NamedTuple):
     bvh_min: jax.Array          # (B, 3) float32
     bvh_max: jax.Array
     hdr_map: jax.Array          # (H, W, 3) float32
-    hdr_cache: jax.Array        # (H, W, 3) float32
     env_intensity: jax.Array    # scalar float32 (RenderSettings.h:86)
     env_angle: jax.Array        # scalar float32 (RenderSettings.h:87)
     # Treelet clusters for the sorted-wavefront tracer (models/clusters.py)
@@ -67,7 +66,7 @@ class SceneData(NamedTuple):
     # (F, N)-table row-block fetch per index (measured ~10x faster than
     # per-field (N,)/(N, F) gathers on v5e).
     tri_attr: jax.Array         # (20, N) f32 [p1 p2 p3 n1 n2 n3 mat_idx pad]
-    env_fetch: jax.Array        # (H*W, 8) f32, layout: hdr.build_env_fetch
+    env_fetch: jax.Array        # (H*W, 16) f32, layout: hdr.build_env_fetch
 
     @property
     def n_triangles(self) -> int:
@@ -183,7 +182,10 @@ class Scene:
             bvh_left=dev(bvh.left), bvh_right=dev(bvh.right),
             bvh_count=dev(bvh.count), bvh_first=dev(bvh.first),
             bvh_min=dev(bvh.aabb_min), bvh_max=dev(bvh.aabb_max),
-            hdr_map=dev(hdr), hdr_cache=dev(cache),
+            # NOTE: the host-built inverse-CDF cache is folded into env_fetch
+            # (hdr.build_env_fetch) and not carried on device separately —
+            # the fast paths read only the fused table.
+            hdr_map=dev(hdr),
             env_intensity=jnp.asarray(env_intensity, jnp.float32),
             env_angle=jnp.asarray(env_angle, jnp.float32),
             cl_aabb_min=dev(clusters.aabb_min),

@@ -131,6 +131,86 @@ def _safe_rcp(x, eps=_EPS_PDF):
     return 1.0 / jnp.maximum(x, eps)
 
 
+# ---------------------------------------------------------------------------
+# Wavefront compaction between bounces
+#
+# The fragment shader retires a path with `break` and the GPU's SIMT
+# scheduler refills the warp from other fragments (glsl:1518-1550). A dense
+# TPU batch has no scheduler — dead lanes would ride every per-bounce stage
+# (NEE gather, shadow cast, BSDF sample, bounce cast) at full width. Alive
+# fractions on the bench scene collapse to <5% by bounce 3
+# (exp/alive_profile.py), so each bounce partitions the alive rays to a
+# dense prefix and runs the whole bounce at the smallest bucketed static
+# width that holds them (lax.switch keeps every shape static for XLA).
+# Exact by construction: the partition uses bounce-start aliveness, dead
+# lanes outside the prefix are not touched, and dead lanes inside the
+# prefix contribute nothing (every contribution is masked by `alive`).
+# ---------------------------------------------------------------------------
+
+
+def _compact_perm(alive):
+    """Stable-partition permutation: perm[:total] = alive lanes' source
+    indices in original order, perm[total:] = dead lanes'. Returns
+    (perm, total)."""
+    r = alive.shape[0]
+    a = alive.astype(jnp.int32)
+    na = jnp.cumsum(a)
+    total = na[-1]
+    pos = jnp.where(alive, na - 1, total + jnp.cumsum(1 - a) - 1)
+    perm = jnp.zeros((r,), jnp.int32).at[pos].set(
+        jnp.arange(r, dtype=jnp.int32), unique_indices=True)
+    return perm, total
+
+
+def _bucket_widths(r: int, n_buckets: int):
+    """Static bounce widths r, r/4, r/16, ... (floor 512 rays: below that
+    the per-branch fixed costs exceed the trace work saved)."""
+    widths, w = [], r
+    for _ in range(max(n_buckets, 1)):
+        widths.append(w)
+        w //= 4
+        if w < 512:
+            break
+    return widths
+
+
+def _compacted_bounce(body, b, state, pixel_id, n_buckets: int):
+    """Run `body(b, state_sub, pid_sub)` at a bucketed alive-prefix width.
+
+    body must preserve dead lanes' lo/history (it does: every accumulation
+    is masked by `alive`), so lanes outside the prefix pass through
+    untouched and the result equals full-width evaluation exactly."""
+    r = state.alive.shape[0]
+    widths = _bucket_widths(r, n_buckets)
+    if len(widths) == 1 and n_buckets <= 1:
+        return body(b, state, pixel_id)
+
+    perm, total = _compact_perm(state.alive)
+    idx = jnp.int32(0)
+    for j in range(1, len(widths)):
+        idx = jnp.where(total <= widths[j], jnp.int32(j), idx)
+    idx = jnp.where(total == 0, jnp.int32(len(widths)), idx)
+
+    def full_branch(state, pid, perm, b):
+        return body(b, state, pid)
+
+    def make_branch(w):
+        def f(state, pid, perm, b):
+            sel = perm[:w]
+            sub = jax.tree.map(lambda x: x[sel], state)
+            out = body(b, sub, pid[sel])
+            return jax.tree.map(
+                lambda x, o: x.at[sel].set(o, unique_indices=True),
+                state, out)
+        return f
+
+    def skip(state, pid, perm, b):
+        return state
+
+    branches = [full_branch] + [make_branch(w) for w in widths[1:]] + [skip]
+    return jax.lax.switch(idx, branches, state, pixel_id, perm, b)
+
+
 def _env_radiance(scene, direction, config):
     if config.enable_env_map:
         return hdr_color(scene.hdr_map, direction, scene.env_angle) \
@@ -187,7 +267,7 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
     )
     sobol_point = sobol_all_dims(frame)
 
-    def body(b, state):
+    def body(b, state, pid):
         hit_point, n, v, mat = surface_attributes(scene, state)
 
         hh, ww = scene.hdr_map.shape[0], scene.hdr_map.shape[1]
@@ -195,8 +275,8 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
         # ---- 1. next-event estimation toward the environment ------------
         lo = state.lo
         if config.enable_env_map:
-            xl1 = rand01(pixel_id, frame, 8 * b + 0)
-            xl2 = rand01(pixel_id, frame, 8 * b + 1)
+            xl1 = rand01(pid, frame, 8 * b + 0)
+            xl2 = rand01(pid, frame, 8 * b + 1)
             # ONE gather: sample direction, its pdf AND its radiance
             l_dir, light_pdf, light_fr = env_sample_nearest(
                 scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
@@ -217,11 +297,11 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
 
         # ---- 2. sample the BSDF -----------------------------------------
         u, vv = sobol_bounce_uv(sobol_point, b)
-        cu = rand01(pixel_id, frame, 8 * b + 2)
-        cv = rand01(pixel_id, frame, 8 * b + 3)
+        cu = rand01(pid, frame, 8 * b + 2)
+        cv = rand01(pid, frame, 8 * b + 3)
         xi1 = cranley_patterson(u, cu)
         xi2 = cranley_patterson(vv, cv)
-        xi3 = rand01(pixel_id, frame, 8 * b + 4)
+        xi3 = rand01(pid, frame, 8 * b + 4)
 
         smp = disney.disney_sample(mat, v, n, xi1, xi2, xi3)
         pdf_ok = smp.pdf > _EPS_PDF
@@ -302,7 +382,10 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
             alive=alive & nxt.is_hit,
         )
 
-    final = _bounce_scan(body, state, config.max_bounce)
+    final = _bounce_scan(
+        lambda b, st: _compacted_bounce(body, b, st, pixel_id,
+                                        config.compaction_buckets),
+        state, config.max_bounce)
     return final.lo
 
 
@@ -340,7 +423,7 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
     )
     sobol_point = sobol_all_dims(frame)
 
-    def body(b, state):
+    def body(b, state, pid):
         hit_point, n, v, mat = surface_attributes(scene, state)
         tangent, bitangent = onb(n)
 
@@ -348,8 +431,8 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
 
         lo = state.lo
         if config.enable_env_map:
-            xl1 = rand01(pixel_id, frame, 8 * b + 0)
-            xl2 = rand01(pixel_id, frame, 8 * b + 1)
+            xl1 = rand01(pid, frame, 8 * b + 0)
+            xl2 = rand01(pid, frame, 8 * b + 1)
             # ONE gather: sample direction, its pdf AND its radiance
             l_dir, light_pdf, light_fr = env_sample_nearest(
                 scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
@@ -369,11 +452,11 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
             lo = lo + jnp.where(vis[..., None], contrib, 0.0)
 
         u, vv = sobol_bounce_uv(sobol_point, b)
-        cu = rand01(pixel_id, frame, 8 * b + 2)
-        cv = rand01(pixel_id, frame, 8 * b + 3)
+        cu = rand01(pid, frame, 8 * b + 2)
+        cv = rand01(pid, frame, 8 * b + 3)
         xi1 = cranley_patterson(u, cu)
         xi2 = cranley_patterson(vv, cv)
-        xi3 = rand01(pixel_id, frame, 8 * b + 4)
+        xi3 = rand01(pid, frame, 8 * b + 4)
 
         l_dir = disney.sample_brdf(mat, v, n, xi1, xi2, xi3)
         f_r, pdf_brdf = disney.brdf_evaluate(
@@ -415,5 +498,8 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
             alive=alive & nxt.is_hit,
         )
 
-    final = _bounce_scan(body, state, config.max_bounce)
+    final = _bounce_scan(
+        lambda b, st: _compacted_bounce(body, b, st, pixel_id,
+                                        config.compaction_buckets),
+        state, config.max_bounce)
     return final.lo
