@@ -1,5 +1,5 @@
 """Bisect the enable_env_map cost inside the integrator by stubbing parts."""
-import time, sys
+import os, time, sys
 import numpy as np
 import jax, jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -24,7 +24,8 @@ orig = dict(
 
 def stub_sample(env_fetch, h, w, xi1, xi2, env_angle):
     d = jnp.zeros(xi1.shape + (3,), jnp.float32).at[..., 1].set(1.0)
-    return d + 0 * xi1[..., None], jnp.ones_like(xi1) * 0.25
+    fr = jnp.ones(xi1.shape + (3,), jnp.float32) + 0 * xi1[..., None]
+    return d + 0 * xi1[..., None], jnp.ones_like(xi1) * 0.25, fr
 
 def stub_rad(env_fetch, h, w, direction, env_angle):
     return jnp.ones(direction.shape[:-1] + (3,), jnp.float32) \
@@ -35,12 +36,12 @@ def stub_rad_pdf(env_fetch, h, w, direction, env_angle):
         jnp.ones(direction.shape[:-1], jnp.float32) * 0.25 \
         + 0 * direction[..., 0]
 
-def stub_shadow(scene, o, d, config, mask=None, any_hit=False):
+def stub_shadow(scene, o, d, config, mask=None, any_hit=False, secondary=False):
     if any_hit:
         z = 0 * o[..., 0]
         return Hit(t=z + INF, tri=z.astype(jnp.int32) - 1, inside=z > 1)
     return orig["closest_hit"](scene, o, d, config, mask=mask,
-                               any_hit=any_hit)
+                               any_hit=any_hit, secondary=secondary)
 
 def run(label, **patches):
     for k, v in orig.items():

@@ -47,7 +47,11 @@ os.makedirs(SHOTS, exist_ok=True)
 SCENES = {
     "bunny": ("bunny", "jade"),
     "loong": ("loong", "tear_glass"),
-    "panther": ("panther", "brown_glass"),
+    # The reference's Scene.h also lists panther/brown_glass, but
+    # panther_100000.obj does not ship in its resources/. brown_loong
+    # covers BASELINE config-4 physics (ABSORB medium + refraction,
+    # Scene.h:152-158) on real 100k geometry instead.
+    "brown_loong": ("loong", "brown_glass"),
 }
 
 ORACLE_W, ORACLE_H, ORACLE_SPP = 128, 64, 4

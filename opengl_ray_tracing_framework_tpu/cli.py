@@ -22,8 +22,14 @@ import time
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU path tracer")
     p.add_argument("--scene", default="test",
-                   help="test | bunny | loong | sphere | panther | "
-                        "comma list of reference objects")
+                   help="test | bunny | loong | sphere | comma list of "
+                        "reference objects. NOTE: the reference's Scene.h "
+                        "also lists 'panther', but the asset "
+                        "(panther_100000.obj) does not ship in "
+                        "/root/reference/resources — requesting it fails "
+                        "with a clear error; use --scene loong "
+                        "--material brown_glass for BASELINE config-4 "
+                        "physics (ABSORB medium + refraction)")
     p.add_argument("--material", default="tear_glass",
                    help="preset for the focus object (Scene.h:53-109)")
     p.add_argument("--width", type=int, default=1024)

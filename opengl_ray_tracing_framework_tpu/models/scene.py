@@ -233,6 +233,17 @@ def build_reference_scene(objects=("floor", "loong"),
     shared_slot = None
     for name in objects:
         path = os.path.join(assets_dir, _OBJ_FILES[name])
+        if not os.path.exists(path):
+            # The reference's Scene.h:146-158 references panther_100000.obj,
+            # but the asset does not ship in its resources/ — fail loudly
+            # instead of skipping (VERDICT r3 #5). BASELINE config-4 physics
+            # (brown glass ABSORB + refraction on 100k geometry) is covered
+            # by the brown_loong golden (exp/make_goldens.py).
+            raise FileNotFoundError(
+                f"scene object '{name}': {path} does not exist"
+                + (" (the reference repo does not ship this asset; use "
+                   "loong with material='brown_glass' for the same physics)"
+                   if name == "panther" else ""))
         mesh = mesh_lib.load_obj(path)
         rot, trans, scale, smooth = _OBJ_TRANSFORMS[name]
         tm = mesh_lib.transform_matrix(rot, trans, scale)

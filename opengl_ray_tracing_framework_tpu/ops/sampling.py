@@ -112,7 +112,13 @@ def _compute_sobol_table() -> np.ndarray:
 
 
 SOBOL_TABLE = _compute_sobol_table()
-_SOBOL_TABLE_J = jnp.asarray(SOBOL_TABLE)
+
+
+def _sobol_table_j():
+    # Lazy device constant: a module-level jnp.asarray would initialize the
+    # XLA backend at import time, which breaks jax.distributed.initialize
+    # (it must run before any backend init — tests/distributed_worker.py).
+    return jnp.asarray(SOBOL_TABLE)
 
 
 def gray_code(i):
@@ -132,7 +138,7 @@ def sobol_all_dims(index):
     bits = [(g >> _U32(j)) & _U32(1) for j in range(_SOBOL_BITS)]
     acc = jnp.zeros((N_SOBOL_DIMS,), jnp.uint32)
     for j in range(_SOBOL_BITS):
-        acc = acc ^ jnp.where(bits[j] != 0, _SOBOL_TABLE_J[:, j], _U32(0))
+        acc = acc ^ jnp.where(bits[j] != 0, _sobol_table_j()[:, j], _U32(0))
     return acc.astype(jnp.float32) * _INV_U32
 
 

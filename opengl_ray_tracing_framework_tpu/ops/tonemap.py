@@ -12,29 +12,30 @@ jnp ports of the reference's post pass
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 # sRGB => XYZ => D65->D60 => AP1 => RRT_SAT (tone_mapping.glsl:30-35).
 # GLSL mat3 constructors are column-major, and the shader multiplies
 # color * M (row-vector convention), so the effective linear map on a column
 # vector is M^T with these rows.
-_ACES_INPUT = jnp.array(
+_ACES_INPUT = np.array(
     [
         [0.59719, 0.35458, 0.04823],
         [0.07600, 0.90834, 0.01566],
         [0.02840, 0.13383, 0.83777],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 # ODT_SAT => XYZ => D60->D65 => sRGB (tone_mapping.glsl:38-43).
-_ACES_OUTPUT = jnp.array(
+_ACES_OUTPUT = np.array(
     [
         [1.60475, -0.53108, -0.07367],
         [-0.10208, 1.10813, -0.00605],
         [-0.00327, -0.07276, 1.07602],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 
