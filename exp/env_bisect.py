@@ -17,7 +17,6 @@ cfg = RenderConfig(width=W, height=H, max_bounce=8, use_pallas=True)
 
 orig = dict(
     env_sample_nearest=I.env_sample_nearest,
-    env_radiance_nearest=I.env_radiance_nearest,
     env_radiance_pdf_nearest=I.env_radiance_pdf_nearest,
     closest_hit=I.closest_hit,
 )
@@ -30,6 +29,14 @@ def stub_sample(env_fetch, h, w, xi1, xi2, env_angle):
 def stub_rad(env_fetch, h, w, direction, env_angle):
     return jnp.ones(direction.shape[:-1] + (3,), jnp.float32) \
         + 0 * direction[..., :1]
+
+def stub_all_secondary(scene, o, d, config, mask=None, any_hit=False,
+                       secondary=False):
+    if secondary:
+        z = 0 * o[..., 0]
+        return Hit(t=z + INF, tri=z.astype(jnp.int32) - 1, inside=z > 1)
+    return orig["closest_hit"](scene, o, d, config, mask=mask,
+                               any_hit=any_hit, secondary=secondary)
 
 def stub_rad_pdf(env_fetch, h, w, direction, env_angle):
     return stub_rad(env_fetch, h, w, direction, env_angle), \
@@ -56,9 +63,9 @@ def run(label, **patches):
 
 run("baseline full")
 run("no sample gather", env_sample_nearest=stub_sample)
-run("no NEE radiance gather", env_radiance_nearest=stub_rad)
 run("no bounce-miss gather", env_radiance_pdf_nearest=stub_rad_pdf)
 run("no shadow cast", closest_hit=stub_shadow)
+run("no secondary casts at all", closest_hit=stub_all_secondary)
 run("all stubs", env_sample_nearest=stub_sample,
     env_radiance_nearest=stub_rad, env_radiance_pdf_nearest=stub_rad_pdf,
     closest_hit=stub_shadow)

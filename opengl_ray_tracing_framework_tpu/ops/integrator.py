@@ -61,7 +61,7 @@ from .sampling import (
     sobol_all_dims,
     sobol_bounce_uv,
 )
-from .traverse import closest_hit
+from .traverse import closest_hit, closest_hit_pair
 
 _EPS_PDF = 1e-10
 
@@ -272,7 +272,9 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
 
         hh, ww = scene.hdr_map.shape[0], scene.hdr_map.shape[1]
 
-        # ---- 1. next-event estimation toward the environment ------------
+        # ---- 1. next-event estimation: draw the light sample ------------
+        # (the shadow ray is traced together with the bounce ray below —
+        # one merged launch per bounce, closest_hit_pair)
         lo = state.lo
         if config.enable_env_map:
             xl1 = rand01(pid, frame, 8 * b + 0)
@@ -282,18 +284,6 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
                 scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
             light_fr = light_fr * scene.env_intensity
             facing = jnp.sum(n * l_dir, axis=-1) > 0.0
-            shadow = _named_hit(
-                closest_hit(scene, hit_point, l_dir, config,
-                            mask=state.alive & facing, any_hit=True,
-                            secondary=True), "hit")
-            vis = state.alive & facing & ~shadow.is_hit
-            f_eval, pdf_eval = disney.disney_eval(mat, v, n, l_dir)
-            w = mis_weight(light_pdf, pdf_eval)
-            if not config.enable_mis:
-                w = jnp.ones_like(w)
-            contrib = (w * _safe_rcp(light_pdf))[..., None] \
-                * state.history * light_fr * f_eval
-            lo = lo + jnp.where(vis[..., None], contrib, 0.0)
 
         # ---- 2. sample the BSDF -----------------------------------------
         u, vv = sobol_bounce_uv(sobol_point, b)
@@ -346,10 +336,26 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
         _, pdf_eval_dir = disney.disney_eval(mat, v, n, new_dir)
         pdf_for_mis = jnp.where(med_sampled, hg_pdf, pdf_eval_dir)
 
-        # ---- 4. trace the bounce ray ------------------------------------
-        nxt = _named_hit(
-            closest_hit(scene, new_org, new_dir, config, mask=alive,
-                        secondary=True), "hit")
+        # ---- 4. trace shadow + bounce rays in ONE launch ----------------
+        if config.enable_env_map:
+            shadow, nxt = closest_hit_pair(
+                scene, hit_point, l_dir, state.alive & facing,
+                new_org, new_dir, alive, config)
+            shadow = _named_hit(shadow, "hit")
+            nxt = _named_hit(nxt, "hit")
+            # NEE contribution (glsl:1379-1406)
+            vis = state.alive & facing & ~shadow.is_hit
+            f_eval, pdf_eval = disney.disney_eval(mat, v, n, l_dir)
+            w = mis_weight(light_pdf, pdf_eval)
+            if not config.enable_mis:
+                w = jnp.ones_like(w)
+            contrib = (w * _safe_rcp(light_pdf))[..., None] \
+                * state.history * light_fr * f_eval
+            lo = lo + jnp.where(vis[..., None], contrib, 0.0)
+        else:
+            nxt = _named_hit(
+                closest_hit(scene, new_org, new_dir, config, mask=alive,
+                            secondary=True), "hit")
         nxt_miss = alive & ~nxt.is_hit
 
         if config.enable_env_map:
@@ -434,22 +440,10 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
             xl1 = rand01(pid, frame, 8 * b + 0)
             xl2 = rand01(pid, frame, 8 * b + 1)
             # ONE gather: sample direction, its pdf AND its radiance
-            l_dir, light_pdf, light_fr = env_sample_nearest(
+            l_dir_nee, light_pdf, light_fr = env_sample_nearest(
                 scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
             light_fr = light_fr * scene.env_intensity
-            facing = jnp.sum(n * l_dir, axis=-1) > 0.0
-            shadow = _named_hit(
-                closest_hit(scene, hit_point, l_dir, config,
-                            mask=state.alive & facing, any_hit=True,
-                            secondary=True), "hit")
-            vis = state.alive & facing & ~shadow.is_hit
-            f_eval, pdf_eval = disney.brdf_evaluate(
-                mat, v, n, l_dir, tangent, bitangent)
-            ndotl = jnp.abs(jnp.sum(n * l_dir, axis=-1))
-            w = mis_weight(light_pdf, pdf_eval)
-            contrib = (w * ndotl * _safe_rcp(light_pdf))[..., None] \
-                * state.history * light_fr * f_eval
-            lo = lo + jnp.where(vis[..., None], contrib, 0.0)
+            facing = jnp.sum(n * l_dir_nee, axis=-1) > 0.0
 
         u, vv = sobol_bounce_uv(sobol_point, b)
         cu = rand01(pid, frame, 8 * b + 2)
@@ -467,9 +461,25 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
         history = jnp.where(alive[..., None], state.history * mult,
                             state.history)
 
-        nxt = _named_hit(
-            closest_hit(scene, hit_point, l_dir, config, mask=alive,
-                        secondary=True), "hit")
+        # shadow + bounce rays in one merged launch (closest_hit_pair)
+        if config.enable_env_map:
+            shadow, nxt = closest_hit_pair(
+                scene, hit_point, l_dir_nee, state.alive & facing,
+                hit_point, l_dir, alive, config)
+            shadow = _named_hit(shadow, "hit")
+            nxt = _named_hit(nxt, "hit")
+            vis = state.alive & facing & ~shadow.is_hit
+            f_eval, pdf_eval = disney.brdf_evaluate(
+                mat, v, n, l_dir_nee, tangent, bitangent)
+            ndotl_nee = jnp.abs(jnp.sum(n * l_dir_nee, axis=-1))
+            w = mis_weight(light_pdf, pdf_eval)
+            contrib = (w * ndotl_nee * _safe_rcp(light_pdf))[..., None] \
+                * state.history * light_fr * f_eval
+            lo = lo + jnp.where(vis[..., None], contrib, 0.0)
+        else:
+            nxt = _named_hit(
+                closest_hit(scene, hit_point, l_dir, config, mask=alive,
+                            secondary=True), "hit")
         nxt_miss = alive & ~nxt.is_hit
 
         if config.enable_env_map:

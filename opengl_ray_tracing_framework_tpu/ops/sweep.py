@@ -104,7 +104,7 @@ def _sort_key(tn, direction, mask):
 def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
                   trifeat_hbm, out_ref, buf, sems, *,
                   t_blk: int, any_hit: bool, tile_r: int, precision: str,
-                  depth: int):
+                  depth: int, mixed: bool = False):
     g = pl.program_id(0)
     limit = nspan_ref[g]
     out_ref[:] = best_in_ref[:]
@@ -189,8 +189,13 @@ def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
         # the ray's own farthest finite cluster-entry distance, so rays
         # that miss everything stop mattering once their candidate list is
         # exhausted. masked rays carry best_t = -INF and never extend the
-        # sweep; any-hit rays retire once occluded.
-        if any_hit:
+        # sweep; any-hit rays retire once occluded. mixed mode reads a
+        # per-ray any-hit flag (col 4) so one launch serves NEE shadow
+        # rays and closest-hit bounce rays together.
+        if mixed:
+            anyflag = best[:, 4] > 0.5
+            live_t = jnp.where(anyflag & (new_slot >= 0.0), -INF, new_t)
+        elif any_hit:
             live_t = jnp.where(new_slot < 0.0, new_t, -INF)
         else:
             live_t = new_t
@@ -213,9 +218,11 @@ def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
                                               "tile_r", "precision", "depth"))
 def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
                 any_hit: bool, interpret: bool, tile_r: int = RAY_TILE,
-                precision: str = "highest", depth: int = 8):
+                precision: str = "highest", depth: int = 8,
+                anyhit_mask=None):
     r_in = origin.shape[0]
     c = cl_min.shape[0]
+    mixed = anyhit_mask is not None
     pad = (-r_in) % tile_r
     if pad:
         origin = jnp.concatenate([origin, jnp.zeros((pad, 3), origin.dtype)])
@@ -224,6 +231,9 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
              jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], direction.dtype),
                       (pad, 1))])
         mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
+        if mixed:
+            anyhit_mask = jnp.concatenate(
+                [anyhit_mask, jnp.zeros((pad,), bool)])
     r = origin.shape[0]
     g = r // tile_r
     rows, cols = trifeat.shape[1], trifeat.shape[2]
@@ -247,6 +257,8 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
         direction = direction[perm]
         mask = mask[perm]
         tn = jnp.take(tn, perm, axis=0)
+        if mixed:
+            anyhit_mask = anyhit_mask[perm]
 
     # 1. per-tile nearest-first span lists
     tile_tn = tn.reshape(g, tile_r, c).min(axis=1)            # (G, C)
@@ -267,6 +279,8 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
     best = best.at[:, 0].set(jnp.where(mask, INF, -INF))
     best = best.at[:, 1].set(-1.0)
     best = best.at[:, 3].set(cap)
+    if mixed:
+        best = best.at[:, 4].set(anyhit_mask.astype(jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -294,7 +308,7 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
 
     kernel = functools.partial(_sweep_kernel, t_blk=t_blk, any_hit=any_hit,
                                tile_r=tile_r, precision=precision,
-                               depth=depth)
+                               depth=depth, mixed=mixed)
     best = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -316,6 +330,37 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
     tri = jnp.where(slot >= 0,
                     slot2tri[jnp.clip(slot, 0, slot2tri.shape[0] - 1)], -1)
     return Hit(t=t, tri=tri, inside=inside)
+
+
+def closest_hit_swept_pair(scene, o_any, d_any, m_any, o_cls, d_cls, m_cls,
+                           config, interpret: bool = False):
+    """NEE shadow (any-hit) + bounce (closest-hit) rays in ONE launch.
+
+    The two per-bounce casts of the integrator share everything but the
+    any-hit early-out: merging them halves the per-cast fixed costs (one
+    coherence sort, one slab pass, one kernel dispatch) and lets the
+    kernel interleave both populations' tiles. The kernel reads a per-ray
+    any-hit flag (best col 4, `mixed=True`). Returns (hit_any, hit_cls)
+    in the callers' original orders; exactness is per-ray, identical to
+    two separate casts."""
+    w = o_any.shape[0]
+    origin = jnp.concatenate([o_any, o_cls])
+    direction = jnp.concatenate([d_any, d_cls])
+    mask = jnp.concatenate([m_any, m_cls])
+    anyhit_mask = jnp.concatenate(
+        [jnp.ones((w,), bool), jnp.zeros((o_cls.shape[0],), bool)])
+    hit = _swept_impl(
+        origin, direction, mask,
+        scene.cl_aabb_min, scene.cl_aabb_max,
+        scene.cl_trifeat, scene.cl_slot2tri,
+        any_hit=False, interpret=interpret,
+        tile_r=config.sweep_tile_secondary,
+        precision=config.mxu_precision,
+        depth=config.sweep_prefetch_depth,
+        anyhit_mask=anyhit_mask)
+    head = Hit(t=hit.t[:w], tri=hit.tri[:w], inside=hit.inside[:w])
+    tail = Hit(t=hit.t[w:], tri=hit.tri[w:], inside=hit.inside[w:])
+    return head, tail
 
 
 def closest_hit_swept(scene, origin, direction, config, mask=None,

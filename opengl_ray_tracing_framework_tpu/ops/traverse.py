@@ -188,3 +188,28 @@ def closest_hit(scene, origin, direction, config, mask=None,
                               leaf_size=config.bvh_leaf_size)
     return Hit(t=jax.lax.stop_gradient(hit.t), tri=hit.tri,
                inside=hit.inside)
+
+
+def closest_hit_pair(scene, o_any, d_any, m_any, o_cls, d_cls, m_cls,
+                     config):
+    """The integrator's per-bounce cast pair — NEE shadow (any-hit) +
+    bounce (closest) — as ONE traversal launch on the sweep backend
+    (ops.sweep.closest_hit_swept_pair: one sort, one slab pass, one
+    kernel dispatch), or two plain casts on every other backend. Results
+    are identical either way (exact per-ray semantics); detached like
+    closest_hit."""
+    if config.use_bvh and config.use_pallas \
+            and config.pallas_backend == "sweep":
+        from .sweep import closest_hit_swept_pair
+        sg = jax.lax.stop_gradient
+        h_any, h_cls = closest_hit_swept_pair(
+            scene, sg(o_any), sg(d_any), m_any, sg(o_cls), sg(d_cls), m_cls,
+            config, interpret=config.pallas_interpret)
+        return (Hit(t=jax.lax.stop_gradient(h_any.t), tri=h_any.tri,
+                    inside=h_any.inside),
+                Hit(t=jax.lax.stop_gradient(h_cls.t), tri=h_cls.tri,
+                    inside=h_cls.inside))
+    return (closest_hit(scene, o_any, d_any, config, mask=m_any,
+                        any_hit=True, secondary=True),
+            closest_hit(scene, o_cls, d_cls, config, mask=m_cls,
+                        secondary=True))
