@@ -86,8 +86,16 @@ for name in names:
                        use_pallas=True, pallas_backend="sweep")
     t0 = time.time()
     st = init_render_state(cfg)
-    st = render_passes(scene, cam, st, cfg, CONV_SPP,
-                       rays_per_tile=CONV_W * CONV_H)
+    # chunk the convergence loop: one 512-pass fori_loop dispatch runs for
+    # many minutes and gets killed by the tunneled device's RPC deadline
+    # ("UNAVAILABLE: TPU device error", seen on loong 2026-08-21)
+    CHUNK = 32
+    for i in range(0, CONV_SPP, CHUNK):
+        st = render_passes(scene, cam, st, cfg, CHUNK,
+                           rays_per_tile=CONV_W * CONV_H)
+        float(st.accum[0, 0, 0])   # real fence (see bench.py)
+        print(f"[{name}]   {i + CHUNK}/{CONV_SPP} spp "
+              f"({time.time()-t0:.0f}s)", flush=True)
     rad = np.asarray(jax.block_until_ready(st.accum))
     np.savez_compressed(os.path.join(GOLD, f"{name}_conv.npz"),
                         radiance=rad.astype(np.float16), spp=CONV_SPP,
