@@ -19,8 +19,13 @@ RUN_TPU = os.environ.get("ORTF_TPU_TESTS") == "1"
 if not RUN_TPU:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
+        flags += " --xla_force_host_platform_device_count=8"
+    if "collective_timeout" not in flags:
+        # 8 device threads on ~2 cores: raise the CPU collective rendezvous
+        # timeouts (default 20s/40s) so uneven per-device runtimes under
+        # core contention don't abort sharded tests spuriously
+        flags += " --xla_cpu_collective_timeout_seconds=1200"
+    os.environ["XLA_FLAGS"] = flags.strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
