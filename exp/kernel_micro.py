@@ -44,11 +44,12 @@ def build(K):
 
 
 def timeit(fn, n=10):
-    out = jax.block_until_ready(fn().t)
+    # fence with an actual scalar fetch: jax.block_until_ready on the
+    # tunneled device can return before queued work ran (exp/RESULTS.md)
+    float(fn().t[0])
     t0 = time.time()
     for _ in range(n):
-        out = fn()
-    jax.block_until_ready(out.t)
+        float(fn().t[0])
     return (time.time() - t0) / n
 
 

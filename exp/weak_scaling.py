@@ -52,15 +52,15 @@ def worker(n):
         state, type(state)(accum=NamedSharding(mesh, P("tiles", None, None)),
                            n_samples=NamedSharding(mesh, P())))
     # compile + warm
-    state = render_pass_sharded(scene, camera, state, config,
+    state = render_pass_sharded(scene, camera, state, config, mesh,
                                 rays_per_tile=ROWS_PER_DEV * WIDTH)
     jax.block_until_ready(state.accum)
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        state = render_pass_sharded(scene, camera, state, config,
+        state = render_pass_sharded(scene, camera, state, config, mesh,
                                     rays_per_tile=ROWS_PER_DEV * WIDTH)
-    jax.block_until_ready(state.accum)
+        jax.block_until_ready(state.accum)
     dt = (time.time() - t0) / reps
     rays = WIDTH * height * SPP * (1 + 2 * BOUNCES)
     print(json.dumps({"n": n, "seconds": dt, "rays": rays,

@@ -104,126 +104,156 @@ def _sort_key(tn, direction, mask):
 def _sweep_kernel(nspan_ref, spans_ref, tnear_ref, rayfeat_ref, best_in_ref,
                   trifeat_hbm, out_ref, buf, sems, *,
                   t_blk: int, any_hit: bool, tile_r: int, precision: str,
-                  depth: int, mixed: bool = False):
-    g = pl.program_id(0)
-    limit = nspan_ref[g]
+                  depth: int, mixed: bool = False, s_tiles: int = 1):
+    # One grid step processes s_tiles logical ray tiles ("supertiling"):
+    # the automatic block pipeline issues one DMA per operand per step,
+    # and small-block DMAs cost ~5 us each on this part (a bare copy
+    # kernel with (128, x) blocks runs at ~27 us/step regardless of
+    # content, exp/grid_overhead.py) — so fewer, larger block transfers
+    # amortize the fixed cost s_tiles-fold while each logical tile keeps
+    # its own span list, prune bound and while_loop.
+    step = pl.program_id(0)
     out_ref[:] = best_in_ref[:]
-
-    spans_row = spans_ref[0]                    # (1, C) i32 in VMEM
-    tnear_row = tnear_ref[0]                    # (1, C) f32 in VMEM
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, spans_row.shape, 1)
-
-    def span_id(j):
-        # dynamic scalar extract from the VMEM row via one-hot reduce
-        return jnp.sum(jnp.where(iota_c == j, spans_row, 0))
-
-    def span_tnear(j):
-        return jnp.sum(jnp.where(iota_c == j, tnear_row, 0.0))
-
-    def dma(j):
-        return pltpu.make_async_copy(
-            trifeat_hbm.at[span_id(j)], buf.at[j % depth], sems.at[j % depth])
-
-    # prologue: fill the prefetch ring (depth - 1 spans in flight). The
-    # kernel is DMA-latency-bound at small tiles (~5 us/span wait vs
-    # ~1-2 us/span compute, exp/cast_tune.py), so one-deep double
-    # buffering leaves the wait on the critical path; a deeper ring
-    # overlaps the latencies of consecutive spans.
-    for k in range(depth - 1):
-        @pl.when(k < limit)
-        def _(k=k):
-            dma(k).start()
-
-    rf = rayfeat_ref[:]                         # (RT, 16)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_r, t_blk), 1)
 
-    def body(carry):
-        j, _ = carry
+    def make_tile(st):
+        limit = nspan_ref[step * s_tiles + st]
+        spans_row = spans_ref[0, st][None, :]       # (1, C) i32 in VMEM
+        tnear_row = tnear_ref[0, st][None, :]       # (1, C) f32 in VMEM
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, spans_row.shape, 1)
 
-        @pl.when(j + depth - 1 < limit)
-        def _():
-            dma(j + depth - 1).start()
+        def span_id(j):
+            # dynamic scalar extract from the VMEM row via one-hot reduce
+            return jnp.sum(jnp.where(iota_c == j, spans_row, 0))
 
-        dma(j).wait()
-        tf = buf[j % depth]                                   # (16, 4T)
-        # precision="highest": f32 multi-pass decomposition — the v5e MXU
-        # multiplies in bf16 by default (~2^-9 relative error on t —
-        # self-intersection acne).
-        ft = jnp.dot(rf, tf, preferred_element_type=jnp.float32,
-                     precision=PRECISIONS[precision])         # (RT, 4T)
-        a = ft[:, 0:t_blk]                                    # d.n
-        tn = ft[:, t_blk:2 * t_blk]                           # (p1-o).n
-        u = ft[:, 2 * t_blk:3 * t_blk]                        # u*det
-        v = ft[:, 3 * t_blk:4 * t_blk]                        # v*det
-        eps = tf[EPS_ROW, 0:t_blk][None, :]                   # parallel thr
+        def span_tnear(j):
+            return jnp.sum(jnp.where(iota_c == j, tnear_row, 0.0))
 
-        not_par = jnp.abs(a) > eps
-        s = jnp.where(a > 0.0, -1.0, 1.0)
-        us = u * s
-        vs = v * s
-        in_tri = (us > 0.0) & (vs > 0.0) & (us + vs < jnp.abs(a))
-        t = tn / jnp.where(not_par, a, 1.0)
-        valid = not_par & in_tri & (t >= T_MIN)
-        tmat = jnp.where(valid, t - 1e-5, INF)                # (RT, T)
+        def dma(j):
+            return pltpu.make_async_copy(
+                trifeat_hbm.at[span_id(j)], buf.at[st, j % depth],
+                sems.at[st, j % depth])
 
-        tmin = jnp.min(tmat, axis=1)                          # (RT,)
-        hit_any = tmin < INF
-        k = jnp.min(jnp.where(tmat <= tmin[:, None], lane, t_blk), axis=1)
-        onehot = (lane == k[:, None]).astype(jnp.float32)
-        a_win = jnp.sum(a * onehot, axis=1)
+        return limit, span_id, span_tnear, dma
 
-        best = out_ref[:]
-        best_t = best[:, 0]
-        better = hit_any & (tmin < best_t)
-        slot = (span_id(j) * t_blk + k).astype(jnp.float32)
-        new_t = jnp.where(better, tmin, best_t)
-        new_slot = jnp.where(better, slot, best[:, 1])
-        new_inside = jnp.where(better, (a_win > 0.0).astype(jnp.float32),
-                               best[:, 2])
-        out_ref[:] = jnp.concatenate(
-            [new_t[:, None], new_slot[:, None], new_inside[:, None],
-             best[:, 3:]], axis=1)
+    tiles = [make_tile(st) for st in range(s_tiles)]
 
-        # stop when the next span's conservative entry distance exceeds
-        # every live ray's pruning bound min(best_t, cap) — cap (col 3) is
-        # the ray's own farthest finite cluster-entry distance, so rays
-        # that miss everything stop mattering once their candidate list is
-        # exhausted. masked rays carry best_t = -INF and never extend the
-        # sweep; any-hit rays retire once occluded. mixed mode reads a
-        # per-ray any-hit flag (col 4) so one launch serves NEE shadow
-        # rays and closest-hit bounce rays together.
-        if mixed:
-            anyflag = best[:, 4] > 0.5
-            live_t = jnp.where(anyflag & (new_slot >= 0.0), -INF, new_t)
-        elif any_hit:
-            live_t = jnp.where(new_slot < 0.0, new_t, -INF)
-        else:
-            live_t = new_t
-        live_t = jnp.minimum(live_t, best[:, 3])
-        thresh = jnp.max(live_t)
-        more = (j + 1 < limit) & (span_tnear(j + 1) < thresh)
+    # prologue for EVERY sub-tile up front: each sub-tile has its own
+    # prefetch ring, so later sub-tiles' first cluster blocks stream in
+    # while earlier sub-tiles compute — without this, every logical tile
+    # pays its first DMA's full latency on the critical path (the
+    # measured ~30 us/tile fixed cost that dominates incoherent casts).
+    for st in range(s_tiles):
+        limit, _, _, dma = tiles[st]
+        for k in range(depth - 1):
+            @pl.when(k < limit)
+            def _(k=k, dma=dma):
+                dma(k).start()
 
-        # retire every in-flight prefetch when the prune ends the sweep early
-        for k in range(1, depth):
-            @pl.when(~more & (j + k < limit))
-            def _(k=k):
-                dma(j + k).wait()
+    for st in range(s_tiles):
+        limit, span_id, span_tnear, dma = tiles[st]
+        sl = slice(st * tile_r, (st + 1) * tile_r)
+        rf = rayfeat_ref[sl, :]                     # (RT, 16)
 
-        return j + 1, more
+        def body(carry, dma=dma, span_id=span_id, span_tnear=span_tnear,
+                 rf=rf, sl=sl, limit=limit, st=st):
+            j, _ = carry
 
-    jax.lax.while_loop(lambda c: c[1], body, (jnp.int32(0), limit > 0))
+            @pl.when(j + depth - 1 < limit)
+            def _():
+                dma(j + depth - 1).start()
+
+            dma(j).wait()
+            tf = buf[st, j % depth]                           # (16, 4T)
+            # precision="highest": f32 multi-pass decomposition — the v5e
+            # MXU multiplies in bf16 by default (~2^-9 relative error on
+            # t — self-intersection acne).
+            ft = jnp.dot(rf, tf, preferred_element_type=jnp.float32,
+                         precision=PRECISIONS[precision])     # (RT, 4T)
+            a = ft[:, 0:t_blk]                                # d.n
+            tn = ft[:, t_blk:2 * t_blk]                       # (p1-o).n
+            u = ft[:, 2 * t_blk:3 * t_blk]                    # u*det
+            v = ft[:, 3 * t_blk:4 * t_blk]                    # v*det
+            eps = tf[EPS_ROW, 0:t_blk][None, :]               # parallel thr
+
+            not_par = jnp.abs(a) > eps
+            s = jnp.where(a > 0.0, -1.0, 1.0)
+            us = u * s
+            vs = v * s
+            in_tri = (us > 0.0) & (vs > 0.0) & (us + vs < jnp.abs(a))
+            t = tn / jnp.where(not_par, a, 1.0)
+            valid = not_par & in_tri & (t >= T_MIN)
+            tmat = jnp.where(valid, t - 1e-5, INF)            # (RT, T)
+
+            tmin = jnp.min(tmat, axis=1)                      # (RT,)
+            hit_any = tmin < INF
+            k = jnp.min(jnp.where(tmat <= tmin[:, None], lane, t_blk),
+                        axis=1)
+            onehot = (lane == k[:, None]).astype(jnp.float32)
+            a_win = jnp.sum(a * onehot, axis=1)
+
+            best = out_ref[sl, :]
+            best_t = best[:, 0]
+            better = hit_any & (tmin < best_t)
+            slot = (span_id(j) * t_blk + k).astype(jnp.float32)
+            new_t = jnp.where(better, tmin, best_t)
+            new_slot = jnp.where(better, slot, best[:, 1])
+            new_inside = jnp.where(better,
+                                   (a_win > 0.0).astype(jnp.float32),
+                                   best[:, 2])
+            out_ref[sl, :] = jnp.concatenate(
+                [new_t[:, None], new_slot[:, None], new_inside[:, None],
+                 best[:, 3:]], axis=1)
+
+            # stop when the next span's conservative entry distance
+            # exceeds every live ray's pruning bound min(best_t, cap) —
+            # cap (col 3) is the ray's own farthest finite cluster-entry
+            # distance, so rays that miss everything stop mattering once
+            # their candidate list is exhausted. masked rays carry
+            # best_t = -INF and never extend the sweep; any-hit rays
+            # retire once occluded. mixed mode reads a per-ray any-hit
+            # flag (col 4) so one launch serves NEE shadow rays and
+            # closest-hit bounce rays together.
+            if mixed:
+                anyflag = best[:, 4] > 0.5
+                live_t = jnp.where(anyflag & (new_slot >= 0.0), -INF,
+                                   new_t)
+            elif any_hit:
+                live_t = jnp.where(new_slot < 0.0, new_t, -INF)
+            else:
+                live_t = new_t
+            live_t = jnp.minimum(live_t, best[:, 3])
+            thresh = jnp.max(live_t)
+            more = (j + 1 < limit) & (span_tnear(j + 1) < thresh)
+
+            # retire in-flight prefetches when the prune ends the sweep
+            for k in range(1, depth):
+                @pl.when(~more & (j + k < limit))
+                def _(k=k):
+                    dma(j + k).wait()
+
+            return j + 1, more
+
+        jax.lax.while_loop(lambda c: c[1], body, (jnp.int32(0), limit > 0))
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret",
-                                              "tile_r", "precision", "depth"))
+                                              "tile_r", "precision", "depth",
+                                              "s_tiles"))
 def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
                 any_hit: bool, interpret: bool, tile_r: int = RAY_TILE,
                 precision: str = "highest", depth: int = 8,
-                anyhit_mask=None):
+                anyhit_mask=None, s_tiles: int = 8):
     r_in = origin.shape[0]
     c = cl_min.shape[0]
     mixed = anyhit_mask is not None
-    pad = (-r_in) % tile_r
+    # supertile: s_tiles logical tiles per grid step (see _sweep_kernel);
+    # shrink for small batches so the grid stays non-empty, and cap a
+    # supertile at 1024 rays — Mosaic stack-allocates the unrolled
+    # sub-tile bodies' temporaries, so bigger products blow the 16 MB
+    # scoped VMEM (and large tiles don't need DMA amortization anyway)
+    s_tiles = max(1, min(s_tiles, -(-r_in // tile_r), 1024 // tile_r))
+    pad = (-r_in) % (tile_r * s_tiles)
     if pad:
         origin = jnp.concatenate([origin, jnp.zeros((pad, 3), origin.dtype)])
         direction = jnp.concatenate(
@@ -245,6 +275,14 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
     # nothing (wavefront compaction without dynamic shapes); live rays
     # group by (nearest candidate cluster, direction) so tile span lists
     # approach the per-ray candidate lists (see _sort_key).
+    # The (R, C) slab matrix is consumed ONLY through per-ray reductions
+    # (sort key, pruning cap) and the per-tile min — it is never gathered
+    # or carried whole: permuted quantities are recomputed from the
+    # permuted rays in a second streamed pass. XLA fuses both passes into
+    # their reductions, so peak memory stays O(R + G*C) instead of
+    # O(R*C) — at the bench's merged full-width cast that is the
+    # difference between a 617 MB temp per switch branch (HBM OOM at 6
+    # compaction buckets) and none.
     tn = cluster_tnear(origin, direction, cl_min, cl_max)     # (R, C)
     tn = jnp.where(mask[:, None], tn, INF)
     mask_in = mask
@@ -256,17 +294,18 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
         origin = origin[perm]
         direction = direction[perm]
         mask = mask[perm]
-        tn = jnp.take(tn, perm, axis=0)
         if mixed:
             anyhit_mask = anyhit_mask[perm]
+        tn = cluster_tnear(origin, direction, cl_min, cl_max)  # streamed
+        tn = jnp.where(mask[:, None], tn, INF)
 
     # 1. per-tile nearest-first span lists
     tile_tn = tn.reshape(g, tile_r, c).min(axis=1)            # (G, C)
     order = jnp.argsort(tile_tn, axis=1)
     tile_sorted = jnp.take_along_axis(tile_tn, order, axis=1)
     nspan = jnp.sum(tile_sorted < INF, axis=1).astype(jnp.int32)
-    spans = order.astype(jnp.int32).reshape(g, 1, c)
-    tile_sorted = tile_sorted.reshape(g, 1, c)
+    spans = order.astype(jnp.int32).reshape(g // s_tiles, s_tiles, c)
+    tile_sorted = tile_sorted.reshape(g // s_tiles, s_tiles, c)
 
     # per-ray static pruning bound: a ray never needs a span whose entry
     # distance exceeds its own farthest finite cluster-entry distance
@@ -284,31 +323,34 @@ def _swept_impl(origin, direction, mask, cl_min, cl_max, trifeat, slot2tri,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(g,),
+        grid=(g // s_tiles,),
         in_specs=[
-            # (G, 1, C) with (1, 1, C) blocks: the TPU block rule wants the
-            # last two dims divisible by (8, 128) or equal to the array's
-            pl.BlockSpec((1, 1, c), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),            # spans row
-            pl.BlockSpec((1, 1, c), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),            # tnear row
-            pl.BlockSpec((tile_r, N_FEAT), lambda i, *_: (i, 0),
+            # (G/S, S, C) with (1, S, C) blocks: the TPU block rule wants
+            # the last two dims divisible by (8, 128) or equal to the
+            # array's
+            pl.BlockSpec((1, s_tiles, c), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # spans rows
+            pl.BlockSpec((1, s_tiles, c), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # tnear rows
+            pl.BlockSpec((s_tiles * tile_r, N_FEAT), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_r, BEST_W), lambda i, *_: (i, 0),
+            pl.BlockSpec((s_tiles * tile_r, BEST_W), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),                # trifeat (HBM)
         ],
-        out_specs=pl.BlockSpec((tile_r, BEST_W), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((s_tiles * tile_r, BEST_W),
+                               lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((depth, rows, cols), jnp.float32),     # prefetch ring
-            pltpu.SemaphoreType.DMA((depth,)),
+            # one prefetch ring per sub-tile (see _sweep_kernel prologue)
+            pltpu.VMEM((s_tiles, depth, rows, cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((s_tiles, depth)),
         ],
     )
 
     kernel = functools.partial(_sweep_kernel, t_blk=t_blk, any_hit=any_hit,
                                tile_r=tile_r, precision=precision,
-                               depth=depth, mixed=mixed)
+                               depth=depth, mixed=mixed, s_tiles=s_tiles)
     best = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -357,7 +399,8 @@ def closest_hit_swept_pair(scene, o_any, d_any, m_any, o_cls, d_cls, m_cls,
         tile_r=config.sweep_tile_secondary,
         precision=config.mxu_precision,
         depth=config.sweep_prefetch_depth,
-        anyhit_mask=anyhit_mask)
+        anyhit_mask=anyhit_mask,
+        s_tiles=config.sweep_supertile)
     head = Hit(t=hit.t[:w], tri=hit.tri[:w], inside=hit.inside[:w])
     tail = Hit(t=hit.t[w:], tri=hit.tri[w:], inside=hit.inside[w:])
     return head, tail
@@ -384,4 +427,5 @@ def closest_hit_swept(scene, origin, direction, config, mask=None,
         tile_r=(config.sweep_tile_secondary if secondary
                 else config.sweep_tile),
         precision=config.mxu_precision,
-        depth=config.sweep_prefetch_depth)
+        depth=config.sweep_prefetch_depth,
+        s_tiles=config.sweep_supertile)

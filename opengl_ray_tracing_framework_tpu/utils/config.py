@@ -70,7 +70,14 @@ class RenderConfig:
     # incoherent bounce/NEE-shadow casts (exp/span_stats.py: tile unions
     # shrink ~4x from 1024 -> 128 on secondary batches).
     sweep_tile: int = 1024
-    sweep_tile_secondary: int = 128
+    sweep_tile_secondary: int = 64
+    # Logical ray tiles per sweep-kernel grid step ("supertiling"): the
+    # automatic block pipeline pays ~5 us per small-block DMA on this
+    # part, so batching S tiles' blocks into one transfer amortizes the
+    # fixed per-step cost S-fold (exp/grid_overhead.py). Purely a
+    # performance knob — each logical tile keeps its own span list and
+    # prune bound, so results are exact at any value >= 1.
+    sweep_supertile: int = 8
     # Prefetch-ring depth of the sweep kernel's HBM->VMEM cluster DMAs.
     # The kernel is DMA-latency-bound at small tiles (~5 us/span wait vs
     # ~1-2 us/span compute, exp/cast_tune.py), so keeping depth-1 copies
@@ -86,13 +93,14 @@ class RenderConfig:
     # Wavefront compaction between bounces: partition alive rays to a dense
     # prefix each bounce and run the whole bounce (NEE shadow cast, BSDF
     # sample, bounce cast, shading) at the smallest bucketed width that
-    # holds them (lax.switch over static widths R, R/4, R/16, R/64, plus an
-    # all-dead skip). Measured alive fractions collapse to <5% by bounce 3
+    # holds them (lax.switch over static widths R/1, R/2, R/4, R/8, R/16,
+    # R/64 — see ops.integrator._BUCKET_DIVISORS — plus an all-dead skip).
+    # Measured alive fractions collapse to <5% by bounce 3
     # on the bench scene (exp/alive_profile.py), so per-bounce work scales
     # with live rays instead of launch width. Exact: compaction uses
     # bounce-start aliveness and dead lanes outside the prefix are
     # untouched. Costs ~3x extra traversal compiles (one per width).
-    compaction_buckets: int = 4
+    compaction_buckets: int = 6
 
     def __post_init__(self):
         if self.use_pallas is None:
@@ -123,8 +131,10 @@ class RenderConfig:
             # here so oversized values fail early instead of with an opaque
             # Mosaic VMEM error.
             raise ValueError("sweep_prefetch_depth must be in [2, 32]")
-        if not 0 <= self.compaction_buckets <= 8:
-            raise ValueError("compaction_buckets must be in [0, 8]")
+        if not 1 <= self.sweep_supertile <= 64:
+            raise ValueError("sweep_supertile must be in [1, 64]")
+        if not 0 <= self.compaction_buckets <= 6:
+            raise ValueError("compaction_buckets must be in [0, 6]")
         if self.mxu_precision not in ("default", "highest"):
             raise ValueError(f"unknown mxu_precision {self.mxu_precision}")
         return self
