@@ -44,6 +44,14 @@ def main():
     width, height, bounces = 1024, 512, 8
     spp_per_pass = int(os.environ.get("BENCH_SPP", "1"))
     rays_per_tile = int(os.environ.get("BENCH_TILE", "131072"))
+    # The backward replays the forward under value_and_grad; at the fwd's
+    # 131072-ray tile the joint fwd+bwd program needs ~17.8 GB of HBM —
+    # XLA materializes dozens of (T, 3)/(T, 1) temps at T(8, 128)-padded
+    # layouts (42.7x/128x) around remat/conditional boundaries (the
+    # BENCH_r04 rc=1 OOM). A 32768-ray grad tile shrinks every such temp
+    # 4x and compiles with headroom; measured bwd is FASTER than r03's
+    # 131072-tile record (2.59 s vs 3.76 s/step).
+    bwd_tile = int(os.environ.get("BENCH_BWD_TILE", "32768"))
 
     try:
         _, scene = build_reference_scene(objects=("floor", "loong"))
@@ -105,7 +113,7 @@ def main():
     t0 = time.time()
     loss, grads = material_grad(scene, camera, target, config,
                                 spp=spp_per_pass,
-                                rays_per_tile=rays_per_tile)
+                                rays_per_tile=bwd_tile)
     float(loss)
     bwd_compile_s = time.time() - t0
     n_bwd = max(1, n_timed - 1)
@@ -113,7 +121,7 @@ def main():
     for _ in range(n_bwd):
         loss, grads = material_grad(scene, camera, target, config,
                                     spp=spp_per_pass,
-                                    rays_per_tile=rays_per_tile)
+                                    rays_per_tile=bwd_tile)
         float(loss)
     bwd_elapsed = (time.time() - t0) / n_bwd
     bwd_rays_per_sec = rays / bwd_elapsed

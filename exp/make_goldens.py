@@ -91,7 +91,7 @@ for name in names:
     # ("UNAVAILABLE: TPU device error", seen on loong 2026-08-21)
     CHUNK = 32
     for i in range(0, CONV_SPP, CHUNK):
-        st = render_passes(scene, cam, st, cfg, CHUNK,
+        st = render_passes(scene, cam, st, cfg, min(CHUNK, CONV_SPP - i),
                            rays_per_tile=CONV_W * CONV_H)
         float(st.accum[0, 0, 0])   # real fence (see bench.py)
         print(f"[{name}]   {i + CHUNK}/{CONV_SPP} spp "

@@ -380,13 +380,17 @@ def brdf_evaluate(mat, v, n, l, x, y):
     |cos| factor (the BRDF-mode integrator multiplies it explicitly)."""
     ndotl = _dot(n, l)
     ndotv = _dot(n, v)
-    valid = (ndotl >= _COS_EPS) & (ndotv >= _COS_EPS)
+    h = _normalize(l + v)
+    ndoth = _dot(n, h)
+    # degenerate l.h folded into `valid` so those lanes return (0, _EPS)
+    # like every other masked configuration instead of a wrong finite
+    # specular term evaluated at the substituted ldoth=1
+    valid = (ndotl >= _COS_EPS) & (ndotv >= _COS_EPS) \
+        & (jnp.abs(_dot(l, h)) > _COS_EPS)
 
     ndotl = _mask1(valid, ndotl)
     ndotv = _mask1(valid, ndotv)
-    h = _normalize(l + v)
-    ndoth = _dot(n, h)
-    ldoth = _mask1(jnp.abs(_dot(l, h)) > _COS_EPS, _dot(l, h))
+    ldoth = _mask1(valid, _dot(l, h))
 
     cdlin = mat.base_color
     ctint = calculate_tint(cdlin)

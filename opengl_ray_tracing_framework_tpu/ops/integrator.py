@@ -185,7 +185,19 @@ def _compacted_bounce(body, b, state, pixel_id, n_buckets: int):
 
     body must preserve dead lanes' lo/history (it does: every accumulation
     is masked by `alive`), so lanes outside the prefix pass through
-    untouched and the result equals full-width evaluation exactly."""
+    untouched and the result equals full-width evaluation exactly.
+
+    Every value crossing the lax.switch boundary is FLAT 1-D: switch
+    operands/results (and, under AD, their cotangents and per-branch
+    residuals) are materialized at conditional boundaries, and a
+    materialized f32[R, 3] is layout-padded 42.7x to T(8, 128) tiles
+    (f32[R, 1] 128x) — at the 131072-ray bench tile that is 64 MB per
+    boundary buffer and an HBM OOM in the backward pass (BENCH_r04 rc=1).
+    The (R,)-flattened carry crosses instead (~1x padding); (w, 3) views
+    exist only inside a branch where XLA fuses them away. Vec-field
+    gather/scatter uses interleaved flat indices (lane i -> 3i..3i+2), so
+    results remain bitwise-identical to the unflattened form
+    (tests/test_compaction.py)."""
     r = state.alive.shape[0]
     widths = _bucket_widths(r, n_buckets)
     if len(widths) == 1 and n_buckets <= 1:
@@ -197,24 +209,30 @@ def _compacted_bounce(body, b, state, pixel_id, n_buckets: int):
         idx = jnp.where(total <= widths[j], jnp.int32(j), idx)
     idx = jnp.where(total == 0, jnp.int32(len(widths)), idx)
 
-    def full_branch(state, pid, perm, b):
-        return body(b, state, pid)
+    def full_branch(flat, pid, perm, b):
+        return _flatten_state(body(b, _unflatten_state(flat), pid))
 
     def make_branch(w):
-        def f(state, pid, perm, b):
+        def f(flat, pid, perm, b):
             sel = perm[:w]
-            sub = jax.tree.map(lambda x: x[sel], state)
-            out = body(b, sub, pid[sel])
-            return jax.tree.map(
-                lambda x, o: x.at[sel].set(o, unique_indices=True),
-                state, out)
+            sel3 = (sel[:, None] * 3
+                    + jnp.arange(3, dtype=sel.dtype)[None, :]).reshape(-1)
+            sub = tuple(x[sel3] if i in _VEC_FIELDS else x[sel]
+                        for i, x in enumerate(flat))
+            out = _flatten_state(body(b, _unflatten_state(sub), pid[sel]))
+            return tuple(
+                x.at[sel3 if i in _VEC_FIELDS else sel].set(
+                    o, unique_indices=True)
+                for i, (x, o) in enumerate(zip(flat, out)))
         return f
 
-    def skip(state, pid, perm, b):
-        return state
+    def skip(flat, pid, perm, b):
+        return flat
 
     branches = [full_branch] + [make_branch(w) for w in widths[1:]] + [skip]
-    return jax.lax.switch(idx, branches, state, pixel_id, perm, b)
+    out = jax.lax.switch(idx, branches, _flatten_state(state), pixel_id,
+                         perm, b)
+    return _unflatten_state(out)
 
 
 def _env_radiance(scene, direction, config):
@@ -230,7 +248,10 @@ def trace_radiance(scene, origin, direction, pixel_id, frame, config):
     frame: scalar int32 1-based progressive sample index (camera.loopNum+1).
     Returns (R, 3) float32 linear radiance.
     """
-    hit0 = closest_hit(scene, origin, direction, config)
+    # name the primary hit like the per-bounce hits: when callers
+    # checkpoint a whole tile (render._tile_traced), the recompute then
+    # replays shading but not the primary traversal either
+    hit0 = _named_hit(closest_hit(scene, origin, direction, config), "hit")
     miss_rgb = _env_radiance(scene, direction, config)
 
     if config.enable_bsdf:

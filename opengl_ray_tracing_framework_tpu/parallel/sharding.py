@@ -185,15 +185,57 @@ def _sharded_pass_impl(scene, camera, state, config, mesh, rays_per_tile):
                        n_samples=state.n_samples + config.spp_per_pass)
 
 
-def _trace_rows(scene, camera, frame, config, row0, n_rows, rays_per_tile):
-    """Trace rows [row0, row0 + n_rows) -> (n_rows, W, 3) radiance."""
+def block_order_rows(img_rows, config):
+    """Map an (n_rows, W, 3) image to the flat (n_rows * W * 3,) traced
+    ray order of `_trace_rows(..., flat=True)` — identity reshape in row
+    order, the 32x32 pixel-block permutation when the pallas tracer is
+    active. Used on loss *targets* so flat traced radiance can be
+    compared without un-permuting (and thus without any transpose on the
+    reverse-mode path)."""
+    from ..render import BLOCK
+
+    n_rows, w = img_rows.shape[0], img_rows.shape[1]
+    blocked = (config.use_pallas and n_rows % BLOCK == 0 and w % BLOCK == 0)
+    if blocked:
+        img_rows = img_rows.reshape(
+            n_rows // BLOCK, BLOCK, w // BLOCK, BLOCK, 3
+        ).transpose(0, 2, 1, 3, 4)
+    return img_rows.reshape(-1)
+
+
+def _trace_rows(scene, camera, frame, config, row0, n_rows, rays_per_tile,
+                flat: bool = False):
+    """Trace rows [row0, row0 + n_rows) -> (n_rows, W, 3) radiance.
+
+    flat=True returns the radiance 1-D (n_rows * W * 3,) xyz-interleaved
+    in TRACED order (block order when the pallas tracer is active —
+    see block_order_rows, which maps an image into the same order):
+    the differentiable loss path (parallel.autodiff) compares
+    flat-vs-flat so neither an (H, W, 3) array — a 42.7x layout-padded
+    256 MB buffer at the bench shape — nor a transpose ever sits on the
+    reverse-mode path; the cotangent of the whole image is one dense
+    1-D vector.
+
+    Like render._trace_image, pixels are traced in 32x32-block order when
+    the pallas tracer is active: each ray tile then covers a compact image
+    square instead of full rows, which intersects ~4x fewer BVH clusters
+    per tile (measured, render.py BLOCK note). The reorder is a static
+    permutation of the device-local ray index, inverted on the way out, so
+    per-pixel results are bitwise-identical to row order."""
+    from ..render import BLOCK
+
     w = config.width
     n_rays = n_rows * w
     local = jnp.arange(n_rays, dtype=jnp.uint32)
+    blocked = (config.use_pallas and n_rows % BLOCK == 0 and w % BLOCK == 0)
+    if blocked:
+        local = local.reshape(
+            n_rows // BLOCK, BLOCK, w // BLOCK, BLOCK
+        ).transpose(0, 2, 1, 3).reshape(-1)
     pixel_id = local + jnp.uint32(w) * row0.astype(jnp.uint32)
 
-    xs = (local % jnp.uint32(w)).astype(jnp.float32)
-    ys = (local // jnp.uint32(w)).astype(jnp.float32) + row0.astype(jnp.float32)
+    xs = (pixel_id % jnp.uint32(w)).astype(jnp.float32)
+    ys = (pixel_id // jnp.uint32(w)).astype(jnp.float32)
     if config.pixel_jitter:
         ju = rand01(pixel_id, frame, 1001)
         jv = rand01(pixel_id, frame, 1002)
@@ -213,11 +255,19 @@ def _trace_rows(scene, camera, frame, config, row0, n_rows, rays_per_tile):
         pixel_id = jnp.concatenate([pixel_id, pixel_id[:pad]])
     n_tiles = origin.shape[0] // tile
 
+    from ..render import tile_traced
+
+    tile_fn = tile_traced(scene, frame, config)
     radiance = jax.lax.map(
-        lambda args: trace_radiance(scene, args[0], args[1], args[2], frame,
-                                    config),
-        (origin.reshape(n_tiles, tile, 3),
-         direction.reshape(n_tiles, tile, 3),
+        lambda args: tile_fn(*args),
+        (origin.reshape(n_tiles, tile * 3),
+         direction.reshape(n_tiles, tile * 3),
          pixel_id.reshape(n_tiles, tile)),
     ).reshape(-1, 3)[:n_rays]
+    if flat:
+        return radiance.reshape(-1)
+    if blocked:
+        radiance = radiance.reshape(
+            n_rows // BLOCK, w // BLOCK, BLOCK, BLOCK, 3
+        ).transpose(0, 2, 1, 3, 4)
     return radiance.reshape(n_rows, w, 3)

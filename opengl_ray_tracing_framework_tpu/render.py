@@ -55,6 +55,36 @@ def init_render_state(config: RenderConfig) -> RenderState:
 BLOCK = 32  # pixel-block side: 32x32 = one scheduled-tracer ray tile
 
 
+def tile_traced(scene, frame, config):
+    """Checkpointed FLAT per-tile trace: (3T,), (3T,), (T,) -> (3T,).
+
+    The lax.map over ray tiles is a reverse-mode AD boundary: without a
+    checkpoint, every shading intermediate the backward sweep needs is
+    saved *stacked per tile*, and any materialized f32[T, 3] / f32[T, 1]
+    is layout-padded 42.7x / 128x to TPU T(8, 128) tiles — at the bench
+    shape that is 64 MB per buffer and an HBM OOM (BENCH_r04 rc=1). Two
+    countermeasures, both exact:
+
+      * the whole tile is jax.checkpoint'ed with the save-only-"hit"
+        policy, so per tile only the named traversal outputs (all flat
+        (T,)-shaped, ops.integrator._named_hit) are saved and the bwd
+        replays shading math — the same policy the per-bounce scan
+        already uses, lifted to the tile level;
+      * every value crossing the map/checkpoint boundary is 1-D: ray
+        origins/directions enter as (3T,) and radiance leaves as (3T,)
+        (xyz-interleaved reshape, a relayout-free bitcast), so stacked
+        carries pad ~1x instead of 42.7x.
+    """
+
+    def tile(o3, d3, pid):
+        rad = trace_radiance(scene, o3.reshape(-1, 3), d3.reshape(-1, 3),
+                             pid, frame, config)
+        return rad.reshape(-1)
+
+    return jax.checkpoint(
+        tile, policy=jax.checkpoint_policies.save_only_these_names("hit"))
+
+
 def _trace_image(scene: SceneData, camera: Camera, frame, config: RenderConfig,
                  rays_per_tile: int = 65536):
     """One sample per pixel -> (H, W, 3) radiance. frame is the 1-based
@@ -95,14 +125,11 @@ def _trace_image(scene: SceneData, camera: Camera, frame, config: RenderConfig,
         pixel_id = jnp.concatenate([pixel_id, pixel_id[:pad]])
     n_tiles = origin.shape[0] // tile
 
-    def do_tile(args):
-        o, d, pid = args
-        return trace_radiance(scene, o, d, pid, frame, config)
-
+    tile_fn = tile_traced(scene, frame, config)
     radiance = jax.lax.map(
-        do_tile,
-        (origin.reshape(n_tiles, tile, 3),
-         direction.reshape(n_tiles, tile, 3),
+        lambda args: tile_fn(*args),
+        (origin.reshape(n_tiles, tile * 3),
+         direction.reshape(n_tiles, tile * 3),
          pixel_id.reshape(n_tiles, tile)),
     ).reshape(-1, 3)[:n_pix]
     if blocked:

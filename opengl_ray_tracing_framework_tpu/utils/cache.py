@@ -14,9 +14,34 @@ ORTF_NO_CACHE=1; point elsewhere with ORTF_CACHE_DIR=/path.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 _DEFAULT_DIR = os.path.expanduser("~/.cache/ortf/jax")
+
+
+def _host_tag() -> str:
+    """Fingerprint of the host CPU's feature set.
+
+    XLA's persistent-cache key does NOT cover the host machine for CPU
+    AOT results: an entry compiled on a machine with different CPU
+    features loads here with `Machine type used for XLA:CPU compilation
+    doesn't match...` and can hang or SIGILL mid-execution (observed
+    2026-08-21: 2 of 8 virtual-mesh device threads never reached their
+    all-reduce rendezvous -> spurious 40 s abort of the sharded tests).
+    Scoping the cache directory by host fingerprint makes stale
+    cross-machine entries unreachable instead of fatal."""
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    feats = line.strip()
+                    break
+    except OSError:  # pragma: no cover - non-procfs platform
+        pass
+    return hashlib.sha256(feats.encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(path: str | None = None) -> str | None:
@@ -34,6 +59,7 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     if jax.config.jax_compilation_cache_dir:   # user already configured
         return jax.config.jax_compilation_cache_dir
     cache_dir = path or os.environ.get("ORTF_CACHE_DIR", _DEFAULT_DIR)
+    cache_dir = os.path.join(cache_dir, _host_tag())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

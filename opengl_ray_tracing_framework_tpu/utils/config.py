@@ -133,6 +133,19 @@ class RenderConfig:
             raise ValueError("sweep_prefetch_depth must be in [2, 32]")
         if not 1 <= self.sweep_supertile <= 64:
             raise ValueError("sweep_supertile must be in [1, 64]")
+        # The sweep kernel's scratch VMEM scales as the PRODUCT
+        # supertile x depth ((s_tiles, depth, 16, 4*cluster) f32 prefetch
+        # rings ~= 64-80 KB/slot at the default 256-triangle clusters), so
+        # jointly-maximal values that pass the per-knob bounds can still
+        # blow the ~16 MB VMEM budget with an opaque Mosaic error — bound
+        # the product to ~8 MB of ring scratch here instead.
+        if self.sweep_supertile * self.sweep_prefetch_depth > 128:
+            raise ValueError(
+                "sweep_supertile * sweep_prefetch_depth must be <= 128 "
+                f"(got {self.sweep_supertile} * {self.sweep_prefetch_depth}"
+                f" = {self.sweep_supertile * self.sweep_prefetch_depth}): "
+                "the kernel's prefetch-ring VMEM scratch scales with the "
+                "product")
         if not 0 <= self.compaction_buckets <= 6:
             raise ValueError("compaction_buckets must be in [0, 6]")
         if self.mxu_precision not in ("default", "highest"):

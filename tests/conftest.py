@@ -20,11 +20,16 @@ if not RUN_TPU:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         flags += " --xla_force_host_platform_device_count=8"
-    if "collective_timeout" not in flags:
+    if "collective" not in flags:
         # 8 device threads on ~2 cores: raise the CPU collective rendezvous
-        # timeouts (default 20s/40s) so uneven per-device runtimes under
-        # core contention don't abort sharded tests spuriously
-        flags += " --xla_cpu_collective_timeout_seconds=1200"
+        # timeouts (default 20s warn / 40s TERMINATE: rendezvous.cc aborts
+        # the whole process) so uneven per-device runtimes under core
+        # contention don't abort sharded tests spuriously. jaxlib 0.9
+        # renamed the knobs to xla_cpu_collective_call_*; keep the old
+        # spelling too for older jaxlibs.
+        flags += (" --xla_cpu_collective_timeout_seconds=1200"
+                  " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
     os.environ["XLA_FLAGS"] = flags.strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -99,8 +99,9 @@ def test_converged_golden(name):
     # chunked convergence loop: one 512-pass fori_loop dispatch runs for
     # minutes and crashes the tunneled TPU worker (RPC deadline, observed
     # 2026-08-21); 32-pass chunks with a real host fence are stable
-    for _ in range(0, spp, 32):
-        st = render_passes(scene, cam, st, cfg, 32, rays_per_tile=w * h)
+    for i in range(0, spp, 32):
+        st = render_passes(scene, cam, st, cfg, min(32, spp - i),
+                           rays_per_tile=w * h)
         float(st.accum[0, 0, 0])
     img = np.asarray(st.accum)
     ref = gold["radiance"].astype(np.float32)

@@ -123,6 +123,52 @@ def test_sharded_material_grad_matches_single(test_scene):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_camera_grad_matches_single(test_scene):
+    from opengl_ray_tracing_framework_tpu.parallel.autodiff import (
+        param_grad_sharded,
+    )
+    cfg = ortf.RenderConfig(width=16, height=16, max_bounce=2,
+                            spp_per_pass=1)
+    mesh = make_mesh(jax.devices()[:8])
+    scene_r = replicate_scene(test_scene, mesh)
+    target = jnp.zeros((16, 16, 3), jnp.float32)
+
+    loss_s, grads_s = param_grad_sharded(scene_r, CAM, target, cfg, mesh,
+                                         param="camera", spp=1,
+                                         rays_per_tile=32)
+    loss_1, grads_1 = camera_grad(test_scene, CAM, target, cfg, spp=1,
+                                  rays_per_tile=256)
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-4)
+    for name in ("position", "yaw", "pitch"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(grads_s, name)),
+            np.asarray(getattr(grads_1, name)), rtol=5e-3, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_geometry_grad_matches_single(test_scene):
+    from opengl_ray_tracing_framework_tpu.parallel.autodiff import (
+        geometry_grad,
+        param_grad_sharded,
+    )
+    cfg = ortf.RenderConfig(width=16, height=16, max_bounce=2,
+                            spp_per_pass=1)
+    mesh = make_mesh(jax.devices()[:8])
+    scene_r = replicate_scene(test_scene, mesh)
+    target = jnp.zeros((16, 16, 3), jnp.float32)
+
+    loss_s, grads_s = param_grad_sharded(scene_r, CAM, target, cfg, mesh,
+                                         param="geometry", spp=1,
+                                         rays_per_tile=32)
+    loss_1, grads_1 = geometry_grad(test_scene, CAM, target, cfg, spp=1,
+                                    rays_per_tile=256)
+    assert grads_s.shape == grads_1.shape == (3, 3, test_scene.n_triangles)
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(grads_s), np.asarray(grads_1),
+                               rtol=5e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_spp_axis_sharding_matches_single(test_scene):
     """(tiles, spp) 2-D mesh: the psum-merged sample mean must equal the
     single-device sequential accumulation of the same frames."""

@@ -79,6 +79,56 @@ def test_render_pass_256x128(loong):
     assert a.mean() > 0.01
 
 
+@pytest.mark.slow
+def test_bench_shape_render_pass(loong):
+    """Pin the EXACT flagship bench config (bench.py): 1024x512, 8 bounces,
+    default RenderConfig, 131072-ray tile. Round 4 shipped with this shape
+    broken while the lane passed at <=512x256 (VERDICT r4 weak #1) — the
+    lane must contain the artifact it certifies."""
+    import jax
+    from opengl_ray_tracing_framework_tpu import RenderConfig
+    from opengl_ray_tracing_framework_tpu.models.camera import Camera
+    from opengl_ray_tracing_framework_tpu.render import (
+        init_render_state,
+        render_pass,
+    )
+
+    cfg = RenderConfig(width=1024, height=512, max_bounce=8,
+                       use_pallas=True, pallas_backend="sweep")
+    cam = Camera.make(aspect=2.0)
+    state = init_render_state(cfg)
+    state = render_pass(loong, cam, state, cfg, rays_per_tile=131072)
+    a = np.asarray(jax.block_until_ready(state.accum))
+    assert np.isfinite(a).all()
+    assert a.mean() > 0.01
+
+
+@pytest.mark.slow
+def test_bench_shape_material_grad(loong):
+    """material_grad at the exact bench config + bench.py's bwd tile
+    (BENCH_BWD_TILE default 32768): the artifact that was red in
+    BENCH_r04 (bwd HBM OOM at compile). Compile + one step on device."""
+    import jax
+    import jax.numpy as jnp
+    from opengl_ray_tracing_framework_tpu import RenderConfig
+    from opengl_ray_tracing_framework_tpu.models.camera import Camera
+    from opengl_ray_tracing_framework_tpu.parallel.autodiff import (
+        material_grad,
+    )
+
+    cfg = RenderConfig(width=1024, height=512, max_bounce=8,
+                       use_pallas=True, pallas_backend="sweep")
+    cam = Camera.make(aspect=2.0)
+    target = jnp.zeros((512, 1024, 3), jnp.float32)
+    loss, grads = material_grad(loong, cam, target, cfg, spp=1,
+                                rays_per_tile=32768)
+    loss = float(jax.block_until_ready(loss))
+    assert np.isfinite(loss) and loss > 0
+    flat = [np.asarray(g) for g in jax.tree.leaves(grads)
+            if hasattr(g, "dtype") and g.dtype != jax.dtypes.float0]
+    assert flat and all(np.isfinite(g).all() for g in flat)
+
+
 def test_material_grad_finite():
     import jax
     from opengl_ray_tracing_framework_tpu import RenderConfig
