@@ -67,6 +67,10 @@ class SceneData(NamedTuple):
     # per-field (N,)/(N, F) gathers on v5e).
     tri_attr: jax.Array         # (20, N) f32 [p1 p2 p3 n1 n2 n3 mat_idx pad]
     env_fetch: jax.Array        # (H*W, 16) f32, layout: hdr.build_env_fetch
+    # Full inverse-CDF cache (H, W, 3): only read by the GL-faithful
+    # bilinear environment path (config.env_bilinear / the oracle parity
+    # probes); the fast paths read the fused env_fetch table instead.
+    hdr_cache: jax.Array        # (H, W, 3) f32, layout: hdr.build_hdr_cache
 
     @property
     def n_triangles(self) -> int:
@@ -194,6 +198,7 @@ class Scene:
             cl_slot2tri=dev(clusters.slot2tri),
             tri_attr=dev(tri_attr),
             env_fetch=dev(env_fetch),
+            hdr_cache=dev(cache),
         )
 
 

@@ -50,6 +50,8 @@ from .envmap import (
     env_radiance_pdf_nearest,
     env_sample_nearest,
     hdr_color,
+    hdr_pdf,
+    sample_hdr_direction,
 )
 from .intersect import INF, surface_attributes
 from .sampling import (
@@ -242,6 +244,36 @@ def _env_radiance(scene, direction, config):
     return default_sky_color(direction[..., 1])
 
 
+def _env_nee_sample(scene, config, hh, ww, xl1, xl2):
+    """In-loop NEE light sample -> (direction, pdf, radiance).
+
+    Default: ONE nearest-texel row gather from the fused table.
+    config.env_bilinear: the reference's exact three GL_LINEAR fetches
+    (SampleHdr glsl:635-646 + hdrPdf glsl:1173-1186 + hdrColor
+    glsl:1165-1169), including its rotation semantics (only the
+    pdf/radiance lookups add env_angle; the sampled direction itself is
+    unrotated)."""
+    if config.env_bilinear:
+        l_dir = sample_hdr_direction(scene.hdr_cache, xl1, xl2)
+        pdf = hdr_pdf(scene.hdr_cache, l_dir, scene.env_angle, ww, hh)
+        fr = hdr_color(scene.hdr_map, l_dir, scene.env_angle)
+        return l_dir, pdf, fr
+    return env_sample_nearest(scene.env_fetch, hh, ww, xl1, xl2,
+                              scene.env_angle)
+
+
+def _env_miss_radiance_pdf(scene, config, hh, ww, direction):
+    """Bounce-miss environment radiance + pdf (the MIS pickup site,
+    glsl:1483-1506): one fused row gather, or GL_LINEAR when
+    config.env_bilinear."""
+    if config.env_bilinear:
+        fr = hdr_color(scene.hdr_map, direction, scene.env_angle)
+        pdf = hdr_pdf(scene.hdr_cache, direction, scene.env_angle, ww, hh)
+        return fr, pdf
+    return env_radiance_pdf_nearest(scene.env_fetch, hh, ww, direction,
+                                    scene.env_angle)
+
+
 def trace_radiance(scene, origin, direction, pixel_id, frame, config):
     """Path-traced radiance for a batch of primary rays (glsl main,
     1518-1550). pixel_id: (R,) uint32 per-pixel counter-RNG stream id;
@@ -307,8 +339,9 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
             xl1 = rand01(pid, frame, 8 * b + 0)
             xl2 = rand01(pid, frame, 8 * b + 1)
             # ONE gather: sample direction, its pdf AND its radiance
-            l_dir, light_pdf, light_fr = env_sample_nearest(
-                scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
+            # (or the GL-faithful bilinear path, config.env_bilinear)
+            l_dir, light_pdf, light_fr = _env_nee_sample(
+                scene, config, hh, ww, xl1, xl2)
             light_fr = light_fr * scene.env_intensity
             facing = jnp.sum(n * l_dir, axis=-1) > 0.0
 
@@ -386,8 +419,8 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
         nxt_miss = alive & ~nxt.is_hit
 
         if config.enable_env_map:
-            env_fr, light_pdf2 = env_radiance_pdf_nearest(
-                scene.env_fetch, hh, ww, new_dir, scene.env_angle)
+            env_fr, light_pdf2 = _env_miss_radiance_pdf(
+                scene, config, hh, ww, new_dir)
             env_fr = env_fr * scene.env_intensity
             w2 = mis_weight(pdf_for_mis, light_pdf2)
             if not config.enable_mis:
@@ -467,8 +500,9 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
             xl1 = rand01(pid, frame, 8 * b + 0)
             xl2 = rand01(pid, frame, 8 * b + 1)
             # ONE gather: sample direction, its pdf AND its radiance
-            l_dir_nee, light_pdf, light_fr = env_sample_nearest(
-                scene.env_fetch, hh, ww, xl1, xl2, scene.env_angle)
+            # (or the GL-faithful bilinear path, config.env_bilinear)
+            l_dir_nee, light_pdf, light_fr = _env_nee_sample(
+                scene, config, hh, ww, xl1, xl2)
             light_fr = light_fr * scene.env_intensity
             facing = jnp.sum(n * l_dir_nee, axis=-1) > 0.0
 
@@ -510,8 +544,8 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
         nxt_miss = alive & ~nxt.is_hit
 
         if config.enable_env_map:
-            env_fr, light_pdf2 = env_radiance_pdf_nearest(
-                scene.env_fetch, hh, ww, l_dir, scene.env_angle)
+            env_fr, light_pdf2 = _env_miss_radiance_pdf(
+                scene, config, hh, ww, l_dir)
             env_fr = env_fr * scene.env_intensity
             w2 = mis_weight(pdf_brdf, light_pdf2)
             lo = lo + jnp.where(nxt_miss[..., None],

@@ -35,6 +35,16 @@ class RenderConfig:
     enable_tone_mapping: bool = True
     enable_gamma_correction: bool = True
 
+    # GL-faithful bilinear filtering for the in-loop environment fetches
+    # (NEE sample/pdf/radiance + bounce-miss radiance/pdf). The reference
+    # samples its HDR map and cache with GL_LINEAR (texture(),
+    # glsl:635-646, 1165-1186); the default fast path fetches nearest
+    # texels from the fused env_fetch table (one row gather per site,
+    # ops/envmap.py). Flip on for parity probes / quantifying the
+    # deviation (exp/env_bilinear_delta.py); costs 4 gathers + the
+    # separate cache/pdf lookups per site.
+    env_bilinear: bool = False
+
     # Sampling.
     spp_per_pass: int = 1             # reference renders 1 spp/frame (glsl:1552)
     pixel_jitter: bool = False        # reference always shoots pixel centers
