@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="preset for the focus object (Scene.h:53-109)")
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--height", type=int, default=512)
+    p.add_argument("--render-scale", type=float, default=1.0,
+                   help="resolution multiplier on width/height "
+                        "(RENDER_SCALE, RenderSettings.h:11)")
     p.add_argument("--spp", type=int, default=64,
                    help="samples per pixel (maxIterations analogue)")
     p.add_argument("--spp-per-pass", type=int, default=1)
@@ -77,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.render_scale != 1.0:
+        # main.cpp:84,107: the render target is width*RENDER_SCALE x
+        # height*RENDER_SCALE; fold it in here so every downstream use
+        # (aspect, ray accounting, RenderConfig) sees the final size.
+        args.width = max(1, int(round(args.width * args.render_scale)))
+        args.height = max(1, int(round(args.height * args.render_scale)))
 
     import jax
     from . import RenderConfig

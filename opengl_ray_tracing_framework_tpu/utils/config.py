@@ -23,6 +23,12 @@ class RenderConfig:
 
     width: int = 1024
     height: int = 512
+    # Resolution multiplier applied to width/height (RENDER_SCALE,
+    # RenderSettings.h:11; main.cpp:84,107 renders at width*RENDER_SCALE).
+    # Applied once at construction: width/height are rewritten to the
+    # scaled values and render_scale resets to 1, so n_pixels and every
+    # consumer see the final resolution.
+    render_scale: float = 1.0
     max_bounce: int = 8
     # Progressive-iteration cap; -1 means unlimited (RenderSettings.h:90,
     # main.cpp:367 UI range -1..3000).
@@ -113,6 +119,17 @@ class RenderConfig:
     compaction_buckets: int = 6
 
     def __post_init__(self):
+        if self.render_scale != 1.0:
+            if self.render_scale <= 0:
+                raise ValueError(
+                    f"render_scale must be > 0, got {self.render_scale}")
+            object.__setattr__(
+                self, "width", max(1, int(round(self.width
+                                                * self.render_scale))))
+            object.__setattr__(
+                self, "height", max(1, int(round(self.height
+                                                 * self.render_scale))))
+            object.__setattr__(self, "render_scale", 1.0)
         if self.use_pallas is None:
             try:
                 import jax

@@ -170,3 +170,18 @@ def test_png_roundtrip(tmp_path):
     write_png(path, img)
     back = read_png(path)
     np.testing.assert_array_equal(img, back)
+
+
+def test_render_scale_knob():
+    # RENDER_SCALE (RenderSettings.h:11): width/height scale at
+    # construction, and the scaled config renders at the scaled size.
+    cfg = _cfg(width=32, height=16, render_scale=0.5)
+    assert (cfg.width, cfg.height) == (16, 8)
+    assert cfg.render_scale == 1.0          # folded in, stays hashable
+    assert _cfg(width=32, height=16, render_scale=2.0).n_pixels == 64 * 32
+    try:
+        _cfg(render_scale=-1.0)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("render_scale <= 0 must be rejected")
