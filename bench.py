@@ -145,12 +145,17 @@ def main():
                 pass
     if recs:
         recs.sort()
-        prev = recs[-1][1]
-        # the driver wraps the printed JSON line under "parsed"
-        if isinstance(prev, dict) and isinstance(prev.get("parsed"), dict):
-            prev = prev["parsed"]
-        if isinstance(prev, dict) and prev.get("value"):
-            baseline = float(prev["value"])
+        # latest record that actually carries a value (a crashed round's
+        # record has parsed=null — e.g. BENCH_r04 — and must not zero the
+        # comparison)
+        for _, prev in reversed(recs):
+            # the driver wraps the printed JSON line under "parsed"
+            if isinstance(prev, dict) and isinstance(prev.get("parsed"),
+                                                     dict):
+                prev = prev["parsed"]
+            if isinstance(prev, dict) and prev.get("value"):
+                baseline = float(prev["value"])
+                break
 
     out = {
         "metric": f"rays/sec/chip fwd ({scene_name}, {width}x{height}, "

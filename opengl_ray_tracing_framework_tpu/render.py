@@ -81,6 +81,11 @@ def tile_traced(scene, frame, config):
                              pid, frame, config)
         return rad.reshape(-1)
 
+    if not config.grad_tile_checkpoint:
+        # rely on the per-bounce scan checkpoints alone (the scan carry is
+        # already flat, ops.integrator._bounce_scan) — one less full
+        # shading replay in the backward sweep; see RenderConfig
+        return tile
     return jax.checkpoint(
         tile, policy=jax.checkpoint_policies.save_only_these_names("hit"))
 

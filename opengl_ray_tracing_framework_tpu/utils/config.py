@@ -106,6 +106,17 @@ class RenderConfig:
     # error on t, visible as self-intersection acne; only for throughput
     # experiments). Mosaic does not implement the 3-pass "high" tier.
     mxu_precision: str = "highest"
+    # Rematerialization granularity of the backward pass. True wraps each
+    # ray tile in jax.checkpoint (save-only-"hit"), so reverse-mode saves
+    # only the flat traversal outputs per tile and replays the whole
+    # tile's shading once before the per-bounce scan replays it again —
+    # the most memory-lean policy (needed at >= 131072-ray grad tiles).
+    # False relies on the per-bounce scan checkpoints alone: the scan's
+    # flat (3R,) carry stack and named hits are saved per tile, shading
+    # replays ONCE instead of twice in the backward sweep (~the fwd
+    # shading cost saved per grad step) at a modest residual-memory cost.
+    # Purely a performance/memory knob — gradients are identical.
+    grad_tile_checkpoint: bool = True
     # Wavefront compaction between bounces: partition alive rays to a dense
     # prefix each bounce and run the whole bounce (NEE shadow cast, BSDF
     # sample, bounce cast, shading) at the smallest bucketed width that
