@@ -44,14 +44,14 @@ def main():
     width, height, bounces = 1024, 512, 8
     spp_per_pass = int(os.environ.get("BENCH_SPP", "1"))
     rays_per_tile = int(os.environ.get("BENCH_TILE", "131072"))
-    # The backward replays the forward under value_and_grad; at the fwd's
-    # 131072-ray tile the joint fwd+bwd program needs ~17.8 GB of HBM —
-    # XLA materializes dozens of (T, 3)/(T, 1) temps at T(8, 128)-padded
-    # layouts (42.7x/128x) around remat/conditional boundaries (the
-    # BENCH_r04 rc=1 OOM). A 32768-ray grad tile shrinks every such temp
-    # 4x and compiles with headroom; measured bwd is FASTER than r03's
-    # 131072-tile record (2.59 s vs 3.76 s/step).
-    bwd_tile = int(os.environ.get("BENCH_BWD_TILE", "32768"))
+    # The backward renders with cast-only compaction (RenderConfig.
+    # grad_compaction_mode="casts", applied inside material_grad): the
+    # detached traversal launches stay bucketed but shading runs full
+    # width, so the backward sweep crosses no lax.switch boundary — the
+    # r04-era padded-temp OOM at 131072 is gone (the boundary
+    # materializations WERE the 17.8 GB) and the measured grad step
+    # dropped 2.59 s -> 1.32 s (exp/bwd_buckets_probe.py, 2026-08-21).
+    bwd_tile = int(os.environ.get("BENCH_BWD_TILE", "131072"))
 
     try:
         _, scene = build_reference_scene(objects=("floor", "loong"))

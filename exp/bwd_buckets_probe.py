@@ -30,6 +30,7 @@ def main():
     buckets = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     tile = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
     mode = sys.argv[3] if len(sys.argv) > 3 else "tile"
+    cmode = sys.argv[4] if len(sys.argv) > 4 else "full"
     width, height, bounces = 1024, 512, 8
     _, scene = build_reference_scene(objects=("floor", "loong"))
     camera = Camera.make(aspect=width / height)
@@ -37,6 +38,7 @@ def main():
                           spp_per_pass=1, use_pallas=True,
                           pallas_backend="sweep",
                           compaction_buckets=buckets,
+                          compaction_mode=cmode,
                           grad_tile_checkpoint=(mode == "tile"))
     target = jnp.zeros((height, width, 3), jnp.float32)
     rays = width * height * (1 + 2 * bounces)
@@ -56,7 +58,7 @@ def main():
                                     spp=1, rays_per_tile=tile)
         loss = float(loss)
     except Exception as e:
-        print(f"buckets={buckets} tile={tile} {mode} fwd={fwd_s:.3f}s "
+        print(f"buckets={buckets} tile={tile} {mode} {cmode} fwd={fwd_s:.3f}s "
               f"grad FAIL {type(e).__name__}", flush=True)
         sys.exit(1)
     compile_s = time.time() - t0
@@ -66,7 +68,7 @@ def main():
                                   spp=1, rays_per_tile=tile)
         float(loss_v)
     step_s = (time.time() - t0) / 2
-    print(f"buckets={buckets} tile={tile} {mode} fwd={fwd_s:.3f}s "
+    print(f"buckets={buckets} tile={tile} {mode} {cmode} fwd={fwd_s:.3f}s "
           f"({rays/fwd_s/1e6:.2f}M) grad={step_s:.3f}s "
           f"({rays/step_s/1e6:.2f}M) loss={loss:.6g} "
           f"grad_compile={compile_s:.0f}s", flush=True)

@@ -53,7 +53,7 @@ from .envmap import (
     hdr_pdf,
     sample_hdr_direction,
 )
-from .intersect import INF, surface_attributes
+from .intersect import Hit, INF, surface_attributes
 from .sampling import (
     cranley_patterson,
     onb,
@@ -237,6 +237,121 @@ def _compacted_bounce(body, b, state, pixel_id, n_buckets: int):
     return _unflatten_state(out)
 
 
+# ---------------------------------------------------------------------------
+# Cast-only compaction (compaction_mode="casts")
+#
+# _compacted_bounce puts the WHOLE bounce body behind a lax.switch; under
+# reverse-mode AD every branch is replayed and transposed, and the
+# boundary materializations dominate the backward sweep: the grad-step
+# profile (exp/bwd_profile.py, 2026-08-21) measured 824 ms of
+# scalar->f32[R,1..3] broadcasts at T(8,128)-padded layouts (~1,900
+# distinct instructions, 42.7x-128x padding) + 192 ms of copies, vs only
+# 0.39 s of actual shading replay+transpose when no switch exists
+# (exp/bwd_buckets_probe.py, buckets=0). These helpers keep the bucketing
+# win where it matters — the traversal launches, ~1 s/pass at full width —
+# while shading runs at full width: the traversal is detached
+# (stop_gradient, traverse.closest_hit), so NOTHING inside this switch
+# carries a cotangent, its transpose is empty, and with the returned hits
+# checkpoint_name'd the remat replay drops the whole switch as dead code.
+# Exact by the same argument as _compacted_bounce: the bucket prefix is
+# chosen by bounce-start aliveness, and a lane outside the prefix gets the
+# same Hit(INF, -1, False) a masked lane gets from the kernel.
+# ---------------------------------------------------------------------------
+
+
+def _miss_hits(r):
+    return (jnp.full((r,), INF, jnp.float32),
+            jnp.full((r,), -1, jnp.int32),
+            jnp.zeros((r,), bool))
+
+
+def _cast_switch(alive, n_buckets, flat_vecs, masks, cast_at):
+    """Run `cast_at(sel_or_None, vecs, masks)` at a bucketed alive-prefix
+    width. flat_vecs: (3R,) detached ray arrays; masks: (R,) bools;
+    cast_at returns a flat tuple of (R,)-shaped hit fields (already
+    scattered to full width when sel is not None)."""
+    r = alive.shape[0]
+    widths = _bucket_widths(r, n_buckets)
+    sg = jax.lax.stop_gradient
+    flat_vecs = tuple(sg(x) for x in flat_vecs)
+    if len(widths) == 1:
+        return cast_at(None, flat_vecs, masks)
+
+    perm, total = _compact_perm(alive)
+    idx = jnp.int32(0)
+    for j in range(1, len(widths)):
+        idx = jnp.where(total <= widths[j], jnp.int32(j), idx)
+    idx = jnp.where(total == 0, jnp.int32(len(widths)), idx)
+
+    nv, nm = len(flat_vecs), len(masks)
+
+    def full_branch(*ops):
+        return cast_at(None, ops[:nv], ops[nv:nv + nm])
+
+    def make_branch(w):
+        def f(*ops):
+            sel = ops[-1][:w]
+            sel3 = (sel[:, None] * 3
+                    + jnp.arange(3, dtype=sel.dtype)[None, :]).reshape(-1)
+            vecs = tuple(x[sel3] for x in ops[:nv])
+            ms = tuple(m[sel] for m in ops[nv:nv + nm])
+            return cast_at(sel, vecs, ms)
+        return f
+
+    def skip(*ops):
+        n_hits = 3 * (nm if nm else 1)
+        out = ()
+        for _ in range(n_hits // 3):
+            out += _miss_hits(r)
+        return out
+
+    branches = [full_branch] + [make_branch(w) for w in widths[1:]] + [skip]
+    return jax.lax.switch(idx, branches, *flat_vecs, *masks, perm)
+
+
+def _scatter_hit(h: Hit, sel, r):
+    if sel is None:
+        return (h.t, h.tri, h.inside)
+    t, tri, inside = _miss_hits(r)
+    return (t.at[sel].set(h.t, unique_indices=True),
+            tri.at[sel].set(h.tri, unique_indices=True),
+            inside.at[sel].set(h.inside, unique_indices=True))
+
+
+def _compacted_cast_pair(scene, alive, o_any, d_any, m_any, o_cls, d_cls,
+                         m_cls, config):
+    """Bucketed merged shadow+bounce launch, full-width results."""
+    r = alive.shape[0]
+
+    def cast_at(sel, vecs, ms):
+        oa, da, oc, dc = (x.reshape(-1, 3) for x in vecs)
+        ha, hc = closest_hit_pair(scene, oa, da, ms[0], oc, dc, ms[1],
+                                  config)
+        return _scatter_hit(ha, sel, r) + _scatter_hit(hc, sel, r)
+
+    out = _cast_switch(
+        alive, config.compaction_buckets,
+        tuple(x.reshape(-1) for x in (o_any, d_any, o_cls, d_cls)),
+        (m_any, m_cls), cast_at)
+    return (Hit(t=out[0], tri=out[1], inside=out[2]),
+            Hit(t=out[3], tri=out[4], inside=out[5]))
+
+
+def _compacted_cast(scene, alive, origin, direction, mask, config):
+    """Bucketed single secondary cast, full-width results."""
+    r = alive.shape[0]
+
+    def cast_at(sel, vecs, ms):
+        o, d = (x.reshape(-1, 3) for x in vecs)
+        h = closest_hit(scene, o, d, config, mask=ms[0], secondary=True)
+        return _scatter_hit(h, sel, r)
+
+    out = _cast_switch(
+        alive, config.compaction_buckets,
+        (origin.reshape(-1), direction.reshape(-1)), (mask,), cast_at)
+    return Hit(t=out[0], tri=out[1], inside=out[2])
+
+
 def _env_radiance(scene, direction, config):
     if config.enable_env_map:
         return hdr_color(scene.hdr_map, direction, scene.env_angle) \
@@ -398,9 +513,14 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
 
         # ---- 4. trace shadow + bounce rays in ONE launch ----------------
         if config.enable_env_map:
-            shadow, nxt = closest_hit_pair(
-                scene, hit_point, l_dir, state.alive & facing,
-                new_org, new_dir, alive, config)
+            if config.compaction_mode == "casts":
+                shadow, nxt = _compacted_cast_pair(
+                    scene, state.alive, hit_point, l_dir,
+                    state.alive & facing, new_org, new_dir, alive, config)
+            else:
+                shadow, nxt = closest_hit_pair(
+                    scene, hit_point, l_dir, state.alive & facing,
+                    new_org, new_dir, alive, config)
             shadow = _named_hit(shadow, "hit")
             nxt = _named_hit(nxt, "hit")
             # NEE contribution (glsl:1379-1406)
@@ -413,9 +533,13 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
                 * state.history * light_fr * f_eval
             lo = lo + jnp.where(vis[..., None], contrib, 0.0)
         else:
-            nxt = _named_hit(
-                closest_hit(scene, new_org, new_dir, config, mask=alive,
-                            secondary=True), "hit")
+            if config.compaction_mode == "casts":
+                nxt = _compacted_cast(scene, state.alive, new_org, new_dir,
+                                      alive, config)
+            else:
+                nxt = closest_hit(scene, new_org, new_dir, config,
+                                  mask=alive, secondary=True)
+            nxt = _named_hit(nxt, "hit")
         nxt_miss = alive & ~nxt.is_hit
 
         if config.enable_env_map:
@@ -448,10 +572,12 @@ def _bounce_loop_bsdf(scene, origin, direction, hit0, pixel_id, frame,
             alive=alive & nxt.is_hit,
         )
 
-    final = _bounce_scan(
-        lambda b, st: _compacted_bounce(body, b, st, pixel_id,
-                                        config.compaction_buckets),
-        state, config.max_bounce)
+    if config.compaction_mode == "full":
+        step = lambda b, st: _compacted_bounce(body, b, st, pixel_id,
+                                               config.compaction_buckets)
+    else:   # "casts": full-width shading, bucketed (detached) casts
+        step = lambda b, st: body(b, st, pixel_id)
+    final = _bounce_scan(step, state, config.max_bounce)
     return final.lo
 
 
@@ -524,9 +650,14 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
 
         # shadow + bounce rays in one merged launch (closest_hit_pair)
         if config.enable_env_map:
-            shadow, nxt = closest_hit_pair(
-                scene, hit_point, l_dir_nee, state.alive & facing,
-                hit_point, l_dir, alive, config)
+            if config.compaction_mode == "casts":
+                shadow, nxt = _compacted_cast_pair(
+                    scene, state.alive, hit_point, l_dir_nee,
+                    state.alive & facing, hit_point, l_dir, alive, config)
+            else:
+                shadow, nxt = closest_hit_pair(
+                    scene, hit_point, l_dir_nee, state.alive & facing,
+                    hit_point, l_dir, alive, config)
             shadow = _named_hit(shadow, "hit")
             nxt = _named_hit(nxt, "hit")
             vis = state.alive & facing & ~shadow.is_hit
@@ -538,9 +669,13 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
                 * state.history * light_fr * f_eval
             lo = lo + jnp.where(vis[..., None], contrib, 0.0)
         else:
-            nxt = _named_hit(
-                closest_hit(scene, hit_point, l_dir, config, mask=alive,
-                            secondary=True), "hit")
+            if config.compaction_mode == "casts":
+                nxt = _compacted_cast(scene, state.alive, hit_point, l_dir,
+                                      alive, config)
+            else:
+                nxt = closest_hit(scene, hit_point, l_dir, config,
+                                  mask=alive, secondary=True)
+            nxt = _named_hit(nxt, "hit")
         nxt_miss = alive & ~nxt.is_hit
 
         if config.enable_env_map:
@@ -569,8 +704,10 @@ def _bounce_loop_brdf(scene, origin, direction, hit0, pixel_id, frame,
             alive=alive & nxt.is_hit,
         )
 
-    final = _bounce_scan(
-        lambda b, st: _compacted_bounce(body, b, st, pixel_id,
-                                        config.compaction_buckets),
-        state, config.max_bounce)
+    if config.compaction_mode == "full":
+        step = lambda b, st: _compacted_bounce(body, b, st, pixel_id,
+                                               config.compaction_buckets)
+    else:   # "casts": full-width shading, bucketed (detached) casts
+        step = lambda b, st: body(b, st, pixel_id)
+    final = _bounce_scan(step, state, config.max_bounce)
     return final.lo

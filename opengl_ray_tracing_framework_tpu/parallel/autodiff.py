@@ -21,6 +21,16 @@ from ..utils.config import RenderConfig
 from .sharding import _trace_rows, block_order_rows
 
 
+def _grad_config(config: RenderConfig) -> RenderConfig:
+    """The config the gradient programs render with: cast-only compaction
+    (config.grad_compaction_mode) keeps the bucketed traversal launches
+    but runs shading full-width, so the backward sweep never crosses a
+    lax.switch boundary — measured 2.59 s -> 1.36 s per grad step at the
+    bench shape (exp/bwd_buckets_probe.py). Images and gradients are
+    exact in both modes (tests/test_compaction.py)."""
+    return config.replace(compaction_mode=config.grad_compaction_mode)
+
+
 def render_rows_radiance(scene, camera, config, row0, n_rows, spp,
                          rays_per_tile=65536, flat=False):
     """Mean radiance over spp samples for rows [row0, row0+n_rows).
@@ -94,6 +104,7 @@ def param_grad_sharded(scene, camera: Camera, target, config: RenderConfig,
     reduction of the sharded output."""
     from jax import shard_map
 
+    config = _grad_config(config)
     try:
         get, put = _PARAM_GROUPS[param]
     except KeyError:
@@ -165,6 +176,7 @@ def material_grad_sharded(scene, camera: Camera, target, config: RenderConfig,
 def material_grad(scene, camera: Camera, target, config: RenderConfig,
                   spp: int = 1, rays_per_tile: int = 65536):
     """Single-device (loss, grads) w.r.t. the material table."""
+    config = _grad_config(config)
     loss, grads = jax.value_and_grad(material_loss, allow_int=True)(
         scene.materials, scene, camera, target, config, jnp.int32(0),
         config.height, spp, rays_per_tile)
@@ -175,6 +187,7 @@ def material_grad(scene, camera: Camera, target, config: RenderConfig,
 def camera_grad(scene, camera: Camera, target, config: RenderConfig,
                 spp: int = 1, rays_per_tile: int = 65536):
     """Single-device (loss, grads) w.r.t. the camera pose pytree."""
+    config = _grad_config(config)
 
     def loss_fn(cam):
         img = render_rows_radiance(scene, cam, config, jnp.int32(0),
@@ -200,6 +213,7 @@ def geometry_grad(scene, camera: Camera, target, config: RenderConfig,
     Returns (loss, grads) with grads shaped (3, 3, N): d loss / d p_k[axis]
     for vertex k of every leaf-ordered triangle.
     """
+    config = _grad_config(config)
 
     def loss_fn(vertices):
         tri_attr = scene.tri_attr.at[0:9, :].set(

@@ -41,6 +41,27 @@ def _host_tag() -> str:
                     break
     except OSError:  # pragma: no cover - non-procfs platform
         pass
+    try:
+        import jax
+        plats = jax.config.jax_platforms or ""
+    except Exception:  # pragma: no cover
+        plats = ""
+    if "cpu" in plats.split(","):
+        # XLA:CPU AOT results additionally bake in LLVM's CPUID-detected
+        # feature set, which can differ between hosts that present the
+        # SAME /proc/cpuinfo flags (VM feature masking). Observed
+        # 2026-08-21: entries carried over from the round-4 machine
+        # loaded here with "Machine type used for XLA:CPU compilation
+        # doesn't match..." and their reassociated float codegen broke
+        # the suite's bitwise-equality contracts by ~4e-7 (cached vs
+        # locally-compiled program). Scope CPU-backend caches by boot so
+        # only entries this machine compiled itself are reachable; TPU
+        # entries (target-independent for the host) keep the shared dir.
+        try:
+            with open("/proc/sys/kernel/random/boot_id") as fh:
+                feats += fh.read()
+        except OSError:  # pragma: no cover
+            pass
     return hashlib.sha256(feats.encode()).hexdigest()[:12]
 
 

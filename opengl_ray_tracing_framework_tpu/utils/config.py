@@ -117,6 +117,30 @@ class RenderConfig:
     # shading cost saved per grad step) at a modest residual-memory cost.
     # Purely a performance/memory knob — gradients are identical.
     grad_tile_checkpoint: bool = True
+    # What the between-bounce compaction switch wraps:
+    #   "full"  — the whole bounce body (NEE gather, BSDF sample, casts,
+    #             shading) runs at the bucketed width. Fastest forward
+    #             pass; under reverse-mode AD every switch branch is
+    #             replayed AND transposed, and the boundary
+    #             materializations dominate the backward sweep (824 ms of
+    #             T(8,128)-padded scalar broadcasts per grad step at the
+    #             bench shape, exp/bwd_profile.py).
+    #   "casts" — only the (detached) traversal launches run bucketed;
+    #             shading runs at full width. The switch carries no
+    #             cotangents (stop_gradient'ed operands) and its hits are
+    #             checkpoint-saved, so the backward sweep never sees it.
+    #             The gradient entry points (parallel.autodiff) select
+    #             this mode for their internal render; images and
+    #             gradients are exact in both modes.
+    compaction_mode: str = "full"
+    # compaction_mode the gradient entry points (parallel.autodiff)
+    # substitute for their internal render. "casts" nearly halves the
+    # measured grad step at the bench shape (2.59 s -> 1.36 s,
+    # exp/bwd_buckets_probe.py 2026-08-21) because the backward sweep
+    # never crosses a switch boundary; the forward-only render keeps
+    # "full" (0.97 s vs 1.12 s/pass). Set to "full" to force the grad
+    # programs onto the render path's exact program structure.
+    grad_compaction_mode: str = "casts"
     # Wavefront compaction between bounces: partition alive rays to a dense
     # prefix each bounce and run the whole bounce (NEE shadow cast, BSDF
     # sample, bounce cast, shading) at the smallest bucketed width that
@@ -186,6 +210,12 @@ class RenderConfig:
                 "product")
         if not 0 <= self.compaction_buckets <= 6:
             raise ValueError("compaction_buckets must be in [0, 6]")
+        if self.compaction_mode not in ("full", "casts"):
+            raise ValueError(f"unknown compaction_mode "
+                             f"{self.compaction_mode!r}")
+        if self.grad_compaction_mode not in ("full", "casts"):
+            raise ValueError(f"unknown grad_compaction_mode "
+                             f"{self.grad_compaction_mode!r}")
         if self.mxu_precision not in ("default", "highest"):
             raise ValueError(f"unknown mxu_precision {self.mxu_precision}")
         return self

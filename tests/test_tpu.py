@@ -128,8 +128,9 @@ def test_bench_shape_render_pass(loong):
 @pytest.mark.slow
 def test_bench_shape_material_grad(loong):
     """material_grad at the exact bench config + bench.py's bwd tile
-    (BENCH_BWD_TILE default 32768): the artifact that was red in
-    BENCH_r04 (bwd HBM OOM at compile). Compile + one step on device."""
+    (BENCH_BWD_TILE default 131072, cast-only grad compaction): the
+    artifact that was red in BENCH_r04 (bwd HBM OOM at compile).
+    Compile + one step on device."""
     import jax
     import jax.numpy as jnp
     from opengl_ray_tracing_framework_tpu import RenderConfig
@@ -143,7 +144,7 @@ def test_bench_shape_material_grad(loong):
     cam = Camera.make(aspect=2.0)
     target = jnp.zeros((512, 1024, 3), jnp.float32)
     loss, grads = material_grad(loong, cam, target, cfg, spp=1,
-                                rays_per_tile=32768)
+                                rays_per_tile=131072)
     loss = float(jax.block_until_ready(loss))
     assert np.isfinite(loss) and loss > 0
     flat = [np.asarray(g) for g in jax.tree.leaves(grads)
