@@ -259,10 +259,13 @@ def _compacted_bounce(body, b, state, pixel_id, n_buckets: int):
 # ---------------------------------------------------------------------------
 
 
-def _miss_hits(r):
-    return (jnp.full((r,), INF, jnp.float32),
-            jnp.full((r,), -1, jnp.int32),
-            jnp.zeros((r,), bool))
+def _miss_hits(vz):
+    """Full-width miss defaults Hit(INF, -1, False). vz: an all-zero (R,)
+    f32 derived from the switch inputs, so every branch's outputs carry
+    the same varying type under shard_map (jax >= 0.8 vma typing: a
+    plain jnp.full constant is mesh-invariant and makes lax.switch
+    reject the branch set with "Revise branch..so output types match")."""
+    return (INF + vz, vz.astype(jnp.int32) - 1, vz != 0.0)
 
 
 def _cast_switch(alive, n_buckets, flat_vecs, masks, cast_at):
@@ -274,8 +277,11 @@ def _cast_switch(alive, n_buckets, flat_vecs, masks, cast_at):
     widths = _bucket_widths(r, n_buckets)
     sg = jax.lax.stop_gradient
     flat_vecs = tuple(sg(x) for x in flat_vecs)
+    # all-zero (R,) f32 carrying the inputs' varying type (see _miss_hits)
+    vz = sum(x[:r] * 0.0 for x in flat_vecs) \
+        + sum(m[:r] * 0.0 for m in masks)
     if len(widths) == 1:
-        return cast_at(None, flat_vecs, masks)
+        return cast_at(None, flat_vecs, masks, vz)
 
     perm, total = _compact_perm(alive)
     idx = jnp.int32(0)
@@ -286,33 +292,32 @@ def _cast_switch(alive, n_buckets, flat_vecs, masks, cast_at):
     nv, nm = len(flat_vecs), len(masks)
 
     def full_branch(*ops):
-        return cast_at(None, ops[:nv], ops[nv:nv + nm])
+        return cast_at(None, ops[:nv], ops[nv:nv + nm], ops[nv + nm + 1])
 
     def make_branch(w):
         def f(*ops):
-            sel = ops[-1][:w]
+            sel = ops[-2][:w]
             sel3 = (sel[:, None] * 3
                     + jnp.arange(3, dtype=sel.dtype)[None, :]).reshape(-1)
             vecs = tuple(x[sel3] for x in ops[:nv])
             ms = tuple(m[sel] for m in ops[nv:nv + nm])
-            return cast_at(sel, vecs, ms)
+            return cast_at(sel, vecs, ms, ops[nv + nm + 1])
         return f
 
     def skip(*ops):
-        n_hits = 3 * (nm if nm else 1)
         out = ()
-        for _ in range(n_hits // 3):
-            out += _miss_hits(r)
+        for _ in range(max(nm, 1)):
+            out += _miss_hits(ops[nv + nm + 1])
         return out
 
     branches = [full_branch] + [make_branch(w) for w in widths[1:]] + [skip]
-    return jax.lax.switch(idx, branches, *flat_vecs, *masks, perm)
+    return jax.lax.switch(idx, branches, *flat_vecs, *masks, perm, vz)
 
 
-def _scatter_hit(h: Hit, sel, r):
+def _scatter_hit(h: Hit, sel, vz):
     if sel is None:
         return (h.t, h.tri, h.inside)
-    t, tri, inside = _miss_hits(r)
+    t, tri, inside = _miss_hits(vz)
     return (t.at[sel].set(h.t, unique_indices=True),
             tri.at[sel].set(h.tri, unique_indices=True),
             inside.at[sel].set(h.inside, unique_indices=True))
@@ -321,13 +326,12 @@ def _scatter_hit(h: Hit, sel, r):
 def _compacted_cast_pair(scene, alive, o_any, d_any, m_any, o_cls, d_cls,
                          m_cls, config):
     """Bucketed merged shadow+bounce launch, full-width results."""
-    r = alive.shape[0]
 
-    def cast_at(sel, vecs, ms):
+    def cast_at(sel, vecs, ms, vz):
         oa, da, oc, dc = (x.reshape(-1, 3) for x in vecs)
         ha, hc = closest_hit_pair(scene, oa, da, ms[0], oc, dc, ms[1],
                                   config)
-        return _scatter_hit(ha, sel, r) + _scatter_hit(hc, sel, r)
+        return _scatter_hit(ha, sel, vz) + _scatter_hit(hc, sel, vz)
 
     out = _cast_switch(
         alive, config.compaction_buckets,
@@ -339,12 +343,11 @@ def _compacted_cast_pair(scene, alive, o_any, d_any, m_any, o_cls, d_cls,
 
 def _compacted_cast(scene, alive, origin, direction, mask, config):
     """Bucketed single secondary cast, full-width results."""
-    r = alive.shape[0]
 
-    def cast_at(sel, vecs, ms):
+    def cast_at(sel, vecs, ms, vz):
         o, d = (x.reshape(-1, 3) for x in vecs)
         h = closest_hit(scene, o, d, config, mask=ms[0], secondary=True)
-        return _scatter_hit(h, sel, r)
+        return _scatter_hit(h, sel, vz)
 
     out = _cast_switch(
         alive, config.compaction_buckets,
